@@ -1,0 +1,62 @@
+"""Static sampler configuration.
+
+Parity: the reference's ``BARKTrainParamsNumba`` jitclass
+(src/bark/fitting/bark_sampler.py:48-92) and the pydantic surrogate defaults
+(src/bofire_mixed/data_models/surrogates/bark.py:15-40). Fields are Python
+scalars and the dataclass is hashable, so it is passed as a static jit
+argument — changing a parameter triggers a (cached) recompile, which matches
+how these are used (fixed per study).
+
+TPU-specific additions: ``node_limit`` and ``max_depth`` bound the fixed
+shapes (the reference caps trees at 100 nodes, src/bark/forest.py:114-117;
+we also cap depth so leaf routing has an exact static trip count — the
+depth prior alpha(1+d)^-beta makes mass beyond depth 16 negligible).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from bark_tpu.forest import DEFAULT_MAX_DEPTH, DEFAULT_NODE_LIMIT
+
+
+@dataclass(frozen=True)
+class SamplerParams:
+    # MCMC run parameters (src/bofire_mixed/data_models/surrogates/bark.py:18-21)
+    warmup_steps: int = 50
+    num_samples: int = 5
+    steps_per_sample: int = 10
+    num_chains: int = 1
+
+    # node depth prior (…/bark.py:24-26)
+    alpha: float = 0.95
+    beta: float = 2.0
+    num_trees: int = 50
+
+    # noise and scale proposal parameters (…/bark.py:28-34)
+    use_softplus_transform: bool = True
+    sample_scale: bool = False
+    gamma_prior_shape: float = 1.5
+    gamma_prior_rate: float = 5.0
+
+    # transition type probabilities (…/bark.py:36-38)
+    grow_prune_weight: float = 0.5
+    change_weight: float = 1.0
+
+    # fixed-shape caps (TPU-native; see module docstring)
+    node_limit: int = DEFAULT_NODE_LIMIT
+    max_depth: int = DEFAULT_MAX_DEPTH
+
+    @property
+    def proposal_weights(self) -> tuple[float, float, float]:
+        """Normalized (grow, prune, change) probabilities.
+
+        Parity: the commented-out dataclass property in
+        src/bark/fitting/bark_sampler.py:41-46.
+        """
+        p = (self.grow_prune_weight, self.grow_prune_weight, self.change_weight)
+        s = sum(p)
+        return (p[0] / s, p[1] / s, p[2] / s)
+
+    def with_(self, **kwargs) -> "SamplerParams":
+        return replace(self, **kwargs)

@@ -1,0 +1,213 @@
+"""Vectorized grow/prune/change proposals over fixed-shape trees.
+
+Parity target: src/bark/fitting/tree_proposals.py:21-256. The reference's
+jitclass + Python-branch machinery becomes one branch-free function
+:func:`propose_tree` computing, under masks:
+
+  - the move type (weighted categorical draw),
+  - a uniform pick from the valid node set (terminal nodes for grow,
+    singly-internal nodes for prune/change),
+  - a splitting rule sampled inside the node's subspace (bitmask subset for
+    categoricals, integer/uniform draw otherwise),
+  - the transition ratio ``tree_q_ratio`` and depth-prior ratio
+    ``tree_prior_ratio`` in closed form (the post-grow singly-internal count
+    is derived analytically instead of re-growing the tree), and
+  - the structural edit as masked scatter updates.
+
+Invalid proposals (empty valid set, degenerate categorical/integer split,
+tree at node capacity, node at the depth cap) yield ``log_q_prior = -inf``,
+exactly mirroring the reference's early returns
+(tree_proposals.py:207-236) plus the two fixed-shape capacity rejections
+(the reference raises OverflowError at capacity instead,
+tree_proposals.py:58).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bark_tpu.fitting.bits import sample_binary_mask
+from bark_tpu.fitting.params import SamplerParams
+from bark_tpu.fitting.traversal import (
+    node_subspace,
+    singly_internal_mask,
+    terminal_mask,
+)
+from bark_tpu.forest import FEAT_CAT, FEAT_INT, Forest
+
+GROW, PRUNE, CHANGE = 0, 1, 2
+
+
+def masked_choice(key: jax.Array, mask: jax.Array) -> jax.Array:
+    """Uniform draw from the True entries of mask (0 if mask is empty)."""
+    logits = jnp.where(mask, 0.0, -jnp.inf)
+    return jax.random.categorical(key, logits).astype(jnp.int32)
+
+
+def sample_splitting_rule(
+    key: jax.Array, subspace: jax.Array, feat_types: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Sample (feature_idx, threshold) uniformly within a subspace.
+
+    Parity: src/bark/fitting/tree_proposals.py:78-97. All three feature-type
+    branches are computed and selected (no data-dependent control flow).
+    Degenerate results (0 for categoricals, the upper bound for integers) are
+    the caller's rejection indicators, as in the reference.
+    """
+    k_feat, k_cat, k_int, k_cont = jax.random.split(key, 4)
+    d = subspace.shape[0]
+    feat = jax.random.randint(k_feat, (), 0, d)
+    lb = subspace[feat, 0]
+    ub = subspace[feat, 1]
+
+    cat_thr = sample_binary_mask(k_cat, ub.astype(jnp.int32)).astype(subspace.dtype)
+
+    lb_i = lb.astype(jnp.int32)
+    ub_i = ub.astype(jnp.int32)
+    int_draw = jax.random.randint(k_int, (), lb_i, jnp.maximum(ub_i, lb_i + 1))
+    int_thr = jnp.where(lb_i == ub_i, ub_i, int_draw).astype(subspace.dtype)
+
+    cont_thr = jax.random.uniform(
+        k_cont, (), dtype=subspace.dtype, minval=lb, maxval=ub
+    )
+
+    ftype = feat_types[feat]
+    thr = jnp.where(
+        ftype == FEAT_CAT, cat_thr, jnp.where(ftype == FEAT_INT, int_thr, cont_thr)
+    )
+    return feat.astype(jnp.int32), thr
+
+
+def _first_two_inactive(active: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Indices of the first two inactive node slots, and whether two exist.
+
+    Parity: src/bark/fitting/tree_proposals.py:45-58 (free-list allocation).
+    """
+    inactive = ~active
+    i1 = jnp.argmax(inactive).astype(jnp.int32)
+    inactive2 = inactive.at[i1].set(False)
+    i2 = jnp.argmax(inactive2).astype(jnp.int32)
+    has_two = jnp.sum(inactive.astype(jnp.int32)) >= 2
+    return i1, i2, has_two
+
+
+def _grow(tree: Forest, n: jax.Array, i1, i2, feat, thr) -> Forest:
+    """Grow leaf ``n`` into an internal node with two fresh leaf children.
+
+    Parity: src/bark/fitting/tree_proposals.py:146-166.
+    """
+    d = tree.depth[n]
+    return Forest(
+        is_leaf=tree.is_leaf.at[i1].set(True).at[i2].set(True).at[n].set(False),
+        feature=tree.feature.at[i1].set(0).at[i2].set(0).at[n].set(feat),
+        threshold=tree.threshold.at[i1].set(0.0).at[i2].set(0.0).at[n].set(thr),
+        left=tree.left.at[i1].set(0).at[i2].set(0).at[n].set(i1),
+        right=tree.right.at[i1].set(0).at[i2].set(0).at[n].set(i2),
+        parent=tree.parent.at[i1].set(n).at[i2].set(n),
+        depth=tree.depth.at[i1].set(d + 1).at[i2].set(d + 1),
+        active=tree.active.at[i1].set(True).at[i2].set(True),
+    )
+
+
+def _prune(tree: Forest, n: jax.Array) -> Forest:
+    """Collapse singly-internal node ``n`` back into a leaf.
+
+    Parity: src/bark/fitting/tree_proposals.py:169-176.
+    """
+    l, r = tree.left[n], tree.right[n]
+    return tree._replace(
+        active=tree.active.at[l].set(False).at[r].set(False),
+        is_leaf=tree.is_leaf.at[n].set(True),
+    )
+
+
+def _change(tree: Forest, n: jax.Array, feat, thr) -> Forest:
+    """Resample the splitting rule at node ``n``.
+
+    Parity: src/bark/fitting/tree_proposals.py:179-183.
+    """
+    return tree._replace(
+        feature=tree.feature.at[n].set(feat),
+        threshold=tree.threshold.at[n].set(thr),
+    )
+
+
+def _select_tree(pred: jax.Array, a: Forest, b: Forest) -> Forest:
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def propose_tree(
+    key: jax.Array,
+    tree: Forest,
+    bounds: jax.Array,
+    feat_types: jax.Array,
+    params: SamplerParams,
+) -> tuple[Forest, jax.Array]:
+    """One grow/prune/change proposal for a single tree.
+
+    ``tree`` fields have shape ``(node_limit,)``. Returns the proposed tree
+    and ``log_q_prior = log q-ratio + log prior-ratio`` (-inf on rejection).
+    Parity: src/bark/fitting/tree_proposals.py:186-256.
+    """
+    k_move, k_node, k_split, _ = jax.random.split(key, 4)
+
+    weights = jnp.array(params.proposal_weights, dtype=jnp.float32)
+    move = jax.random.choice(k_move, 3, p=weights)
+
+    term = terminal_mask(tree)
+    si = singly_internal_mask(tree)
+    is_grow = move == GROW
+    is_prune = move == PRUNE
+
+    valid = jnp.where(is_grow, term, si)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    n = masked_choice(k_node, valid)
+
+    subspace = node_subspace(tree, n, bounds, feat_types, params.max_depth)
+    feat, thr = sample_splitting_rule(k_split, subspace, feat_types)
+
+    ftype = feat_types[feat]
+    invalid_split = ((ftype == FEAT_CAT) & (thr == 0)) | (
+        (ftype == FEAT_INT) & (thr == subspace[feat, 1])
+    )
+
+    i1, i2, has_two = _first_two_inactive(tree.active)
+    depth_ok = tree.depth[n] + 1 <= params.max_depth
+
+    reject = (
+        (n_valid == 0)
+        | ((~is_prune) & invalid_split)
+        | (is_grow & (~has_two | ~depth_ok))
+    )
+
+    # --- transition ratio (tree_proposals.py:100-117) ---------------------
+    w0 = jnp.sum(term.astype(jnp.float32))
+    w1 = jnp.sum(si.astype(jnp.float32))
+    parent_was_si = (n != 0) & si[tree.parent[n]]
+    w1_star = w1 + 1.0 - parent_was_si.astype(jnp.float32)
+    grow_q = jnp.log(w0) - jnp.log(w1_star)
+    prune_q = jnp.log(w1) - jnp.log(jnp.maximum(w0 - 1.0, 1.0))
+    log_q_ratio = jnp.where(is_grow, grow_q, jnp.where(is_prune, prune_q, 0.0))
+
+    # --- depth-prior ratio (tree_proposals.py:120-143) --------------------
+    alpha, beta = params.alpha, params.beta
+    d = tree.depth[n].astype(jnp.float32)
+    pr = (
+        jnp.log(alpha)
+        + 2.0 * jnp.log(1.0 - alpha / (2.0 + d) ** beta)
+        - jnp.log((1.0 + d) ** beta - alpha)
+    )
+    log_prior_ratio = jnp.where(is_grow, pr, jnp.where(is_prune, -pr, 0.0))
+
+    # --- structural edit as masked selects --------------------------------
+    grown = _grow(tree, n, i1, i2, feat, thr)
+    pruned = _prune(tree, n)
+    changed = _change(tree, n, feat, thr)
+    proposed = _select_tree(
+        is_grow, grown, _select_tree(is_prune, pruned, changed)
+    )
+    new_tree = _select_tree(reject, tree, proposed)
+
+    log_q_prior = jnp.where(reject, -jnp.inf, log_q_ratio + log_prior_ratio)
+    return new_tree, log_q_prior

@@ -1,0 +1,91 @@
+"""Fixed-shape tree traversal: node masks and node subspaces.
+
+Parity targets: src/bark/fitting/tree_traversal.py:28-86. The reference
+returns variable-length index arrays (``terminal_nodes`` /
+``singly_internal_nodes``) and walks parent chains with a Python while loop
+(``get_node_subspace``); here both become fixed-shape masked computations so
+they vectorize over trees and chains.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bark_tpu.fitting.bits import next_power_of_2
+from bark_tpu.forest import FEAT_CAT, FEAT_INT, Forest
+
+
+def terminal_mask(tree: Forest) -> jax.Array:
+    """Boolean mask of active leaves (src/bark/fitting/tree_traversal.py:28-33)."""
+    return tree.active & tree.is_leaf
+
+
+def singly_internal_mask(tree: Forest) -> jax.Array:
+    """Active decision nodes whose both children are leaves.
+
+    Parity: src/bark/fitting/tree_traversal.py:36-46.
+    """
+    both_children_leaves = tree.is_leaf[tree.left] & tree.is_leaf[tree.right]
+    return tree.active & (~tree.is_leaf) & both_children_leaves
+
+
+def node_subspace(
+    tree: Forest,
+    node_idx: jax.Array,
+    bounds: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int,
+) -> jax.Array:
+    """Sub-domain of points that reach ``node_idx``: ``(D, 2)``.
+
+    Walks the parent chain to the root, intersecting bounds at every split:
+    bitmask AND for categoricals (with the complement mask computed against
+    the next power of two of the *current* subspace upper bound), min/max for
+    numerics with a +1 delta on the lower bound of integer right-children.
+    Parity: src/bark/fitting/tree_traversal.py:49-86.
+
+    The walk is a fixed ``max_depth``-trip loop masked on reaching the root.
+    """
+    lower = bounds[:, 0]
+    upper = bounds[:, 1]
+
+    def body(_, carry):
+        node, lower, upper = carry
+        at_root = node == 0
+        parent = tree.parent[node]
+        f = tree.feature[parent]
+        thr = tree.threshold[parent]
+        is_left = node == tree.left[parent]
+
+        f_is_cat = feat_types[f] == FEAT_CAT
+        f_is_int = feat_types[f] == FEAT_INT
+
+        ub_f = upper[f]
+        lb_f = lower[f]
+
+        # categorical: left keeps mask & thr; right keeps mask & ~thr
+        # (complement against next_power_of_2(current ub) - 1)
+        thr_i = thr.astype(jnp.int32)
+        ub_i = ub_f.astype(jnp.int32)
+        max_thr = next_power_of_2(ub_i) - 1
+        neg_thr = max_thr - thr_i
+        cat_ub = jnp.where(is_left, thr_i & ub_i, neg_thr & ub_i).astype(upper.dtype)
+
+        # numeric: left tightens ub to thr; right tightens lb to thr (+1 int)
+        int_delta = jnp.where(f_is_int, 1.0, 0.0).astype(lower.dtype)
+        num_ub = jnp.where(is_left, jnp.minimum(thr, ub_f), ub_f)
+        num_lb = jnp.where(is_left, lb_f, jnp.maximum(thr + int_delta, lb_f))
+
+        new_ub = jnp.where(f_is_cat, cat_ub, num_ub)
+        new_lb = jnp.where(f_is_cat, lb_f, num_lb)
+
+        upper = jnp.where(at_root, upper, upper.at[f].set(new_ub))
+        lower = jnp.where(at_root, lower, lower.at[f].set(new_lb))
+        node = jnp.where(at_root, node, parent)
+        return node, lower, upper
+
+    _, lower, upper = jax.lax.fori_loop(
+        0, max_depth, body, (node_idx.astype(jnp.int32), lower, upper)
+    )
+    return jnp.stack([lower, upper], axis=1)

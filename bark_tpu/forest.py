@@ -1,0 +1,264 @@
+"""Fixed-shape forest encoding and leaf-agreement kernel, TPU-first.
+
+A forest is a struct-of-arrays of ``(..., m, node_limit)`` int32/float32 fields
+(:class:`Forest`), designed so that every operation on it — leaf routing, Gram
+matrix evaluation, structural MCMC edits — is a fixed-shape, branch-free JAX
+program amenable to ``jit``/``vmap``/``scan`` and XLA fusion on TPU.
+
+Behavioral parity with the reference implementation (TobyBoyne/bark):
+  - node record fields mirror ``src/bark/forest.py:8-19`` (NODE_RECORD_DTYPE),
+    but as separate arrays instead of a structured numpy dtype;
+  - categorical splits are bitmask tests ``(1 << x) & threshold``
+    (``src/bark/forest.py:38-40``); continuous/integer splits are
+    ``x <= threshold`` (``src/bark/forest.py:42``);
+  - the agreement kernel is the fraction of trees in which two points share a
+    leaf (``src/bark/forest.py:78-89``), with an optional "no-null-tree"
+    rescaling (``src/bark/forest.py:101-111``).
+
+Design deltas (TPU-first, not a port):
+  - routing is a fixed-trip-count gather loop (``max_depth`` iterations)
+    instead of a data-dependent while loop;
+  - the Gram matrix is a one-hot × one-hot matmul that maps onto the MXU
+    instead of an O(N·M·m) elementwise comparison loop;
+  - trees deeper than ``max_depth`` are excluded by construction (the sampler
+    rejects grow moves past the cap), so the fixed trip count is exact.
+
+Categorical features are capped at 24 categories so that bitmask thresholds
+are exactly representable in float32 (the reference shares this implicit cap
+by storing bitmasks in a float32 threshold field).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Feature type codes, matching the reference enum
+# (src/bark/forest.py:22-25: Cat=0, Int=1, Cont=2).
+FEAT_CAT = 0
+FEAT_INT = 1
+FEAT_CONT = 2
+
+DEFAULT_NODE_LIMIT = 64
+DEFAULT_MAX_DEPTH = 16
+MAX_CATEGORIES = 24
+
+
+class Forest(NamedTuple):
+    """Struct-of-arrays forest with leading shape ``(..., m, node_limit)``.
+
+    Fields mirror the reference's NODE_RECORD_DTYPE (src/bark/forest.py:8-19).
+    ``threshold`` doubles as a categorical bitmask (exact in float32 for up to
+    24 categories). ``parent`` of the root is 0 (the reference stores -1 but
+    never reads it; we guard explicitly where it matters).
+    """
+
+    is_leaf: jax.Array  # bool
+    feature: jax.Array  # int32
+    threshold: jax.Array  # float32
+    left: jax.Array  # int32
+    right: jax.Array  # int32
+    parent: jax.Array  # int32
+    depth: jax.Array  # int32
+    active: jax.Array  # bool
+
+    @property
+    def num_trees(self) -> int:
+        return self.is_leaf.shape[-2]
+
+    @property
+    def node_limit(self) -> int:
+        return self.is_leaf.shape[-1]
+
+    @property
+    def batch_shape(self) -> tuple[int, ...]:
+        return self.is_leaf.shape[:-2]
+
+
+def create_empty_forest(
+    m: int, node_limit: int = DEFAULT_NODE_LIMIT, batch_shape: tuple[int, ...] = ()
+) -> Forest:
+    """All-stump forest: each tree is a single active root leaf.
+
+    Parity: src/bark/forest.py:114-117 (root node ``(1,0,0,0,0,-1,0,1)``).
+    """
+    shape = (*batch_shape, m, node_limit)
+    zeros_i = jnp.zeros(shape, jnp.int32)
+    zeros_f = jnp.zeros(shape, jnp.float32)
+    root = jnp.zeros(shape, jnp.bool_).at[..., 0].set(True)
+    return Forest(
+        is_leaf=root,
+        feature=zeros_i,
+        threshold=zeros_f,
+        left=zeros_i,
+        right=zeros_i,
+        parent=zeros_i,
+        depth=zeros_i,
+        active=root,
+    )
+
+
+def _split_decision(
+    x_feat: jax.Array, threshold: jax.Array, is_cat: jax.Array
+) -> jax.Array:
+    """Per-node split decision; True -> go left.
+
+    Parity: src/bark/forest.py:37-42 — categorical: ``(1 << x) & mask``;
+    numeric: ``x <= threshold``.
+    """
+    bit = jnp.left_shift(jnp.int32(1), x_feat.astype(jnp.int32))
+    cat_cond = (bit & threshold.astype(jnp.int32)) != 0
+    num_cond = x_feat <= threshold
+    return jnp.where(is_cat, cat_cond, num_cond)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def route_tree(
+    tree: Forest,
+    X: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = DEFAULT_MAX_DEPTH,
+) -> jax.Array:
+    """Route data through one tree; returns leaf node index per row.
+
+    ``tree`` fields have shape ``(node_limit,)``; ``X`` is ``(N, D)``.
+    Parity: src/bark/forest.py:28-55 (``_pass_one_through_tree`` /
+    ``pass_through_tree``), as a fixed-trip-count gather loop.
+    """
+    n = X.shape[0]
+    is_cat = feat_types == FEAT_CAT
+
+    def body(_, node_idx):
+        feat = tree.feature[node_idx]  # (N,)
+        thr = tree.threshold[node_idx]
+        x_val = jnp.take_along_axis(X, feat[:, None], axis=1)[:, 0]
+        go_left = _split_decision(x_val, thr, is_cat[feat])
+        child = jnp.where(go_left, tree.left[node_idx], tree.right[node_idx])
+        return jnp.where(tree.is_leaf[node_idx], node_idx, child)
+
+    return jax.lax.fori_loop(0, max_depth, body, jnp.zeros((n,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def route_forest(
+    forest: Forest,
+    X: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = DEFAULT_MAX_DEPTH,
+) -> jax.Array:
+    """Route data through every tree; returns ``(N, m)`` leaf indices.
+
+    Parity: src/bark/forest.py:58-67 (``pass_through_forest``).
+    Forest fields must have shape ``(m, node_limit)``.
+    """
+    routed = jax.vmap(lambda t: route_tree(t, X, feat_types, max_depth))(forest)
+    return routed.T  # (m, N) -> (N, m)
+
+
+def leaf_onehot(leaves: jax.Array, node_limit: int, dtype=jnp.float32) -> jax.Array:
+    """One-hot of leaf indices over node slots: ``(..., node_limit)``.
+
+    Columns of empty leaf slots are identically zero, so
+    ``leaf_onehot @ leaf_onehot.T`` equals the leaf co-occurrence matrix used
+    by the reference's ``get_leaf_vectors`` (src/bark/forest.py:70-75), which
+    enumerates only occupied leaves — zero columns contribute nothing.
+    """
+    return jax.nn.one_hot(leaves, node_limit, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("node_limit",))
+def gram_from_leaves(
+    leaves1: jax.Array, leaves2: jax.Array, node_limit: int
+) -> jax.Array:
+    """Agreement Gram matrix from leaf assignments.
+
+    ``leaves1`` is ``(N, m)``, ``leaves2`` is ``(M, m)``; returns ``(N, M)``
+    with entries = fraction of trees in which the two rows share a leaf.
+    Parity: src/bark/forest.py:78-89 (``forest_gram_matrix``), computed as a
+    one-hot × one-hot matmul (inner dim ``m * node_limit``) so XLA tiles it
+    onto the MXU; counts are exact in float32 (0/1 values, sums <= m).
+    """
+    n, m = leaves1.shape
+    z1 = leaf_onehot(leaves1, node_limit).reshape(n, m * node_limit)
+    z2 = leaf_onehot(leaves2, node_limit).reshape(leaves2.shape[0], m * node_limit)
+    counts = jax.lax.dot_general(
+        z1,
+        z2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return counts / m
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def forest_gram_matrix(
+    forest: Forest,
+    x1: jax.Array,
+    x2: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = DEFAULT_MAX_DEPTH,
+) -> jax.Array:
+    """Agreement Gram matrix between two data sets under one forest.
+
+    Parity: src/bark/forest.py:78-89.
+    """
+    l1 = route_forest(forest, x1, feat_types, max_depth)
+    l2 = route_forest(forest, x2, feat_types, max_depth)
+    return gram_from_leaves(l1, l2, forest.node_limit)
+
+
+def batched_forest_gram_matrix(
+    forest: Forest,
+    x1: jax.Array,
+    x2: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = DEFAULT_MAX_DEPTH,
+) -> jax.Array:
+    """Gram matrices for a batch of forests: fields ``(B, m, node_limit)``.
+
+    Parity: src/bark/forest.py:92-98.
+    """
+    return jax.vmap(
+        lambda f: forest_gram_matrix(f, x1, x2, feat_types, max_depth)
+    )(forest)
+
+
+def num_null_trees(forest: Forest) -> jax.Array:
+    """Number of single-leaf ("null") trees per forest in the batch."""
+    return jnp.sum(forest.is_leaf[..., 0].astype(jnp.int32), axis=-1)
+
+
+def batched_forest_gram_matrix_no_null(
+    forest: Forest,
+    x1: jax.Array,
+    x2: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = DEFAULT_MAX_DEPTH,
+) -> jax.Array:
+    """Gram matrix with single-leaf trees rescaled away.
+
+    Parity: src/bark/forest.py:101-111 — subtract the constant contribution of
+    null trees and rescale by ``m / max(m - num_null, 1)``.
+    """
+    sim = batched_forest_gram_matrix(forest, x1, x2, feat_types, max_depth)
+    m = forest.num_trees
+    n_null = num_null_trees(forest).astype(sim.dtype)[..., None, None]
+    scale = m / jnp.maximum(m - n_null, 1.0)
+    return (sim - n_null / m) * scale
+
+
+def forest_from_numpy(arrays: dict) -> Forest:
+    """Build a Forest from a dict of numpy arrays (checkpoint loading)."""
+    return Forest(
+        is_leaf=jnp.asarray(arrays["is_leaf"], jnp.bool_),
+        feature=jnp.asarray(arrays["feature"], jnp.int32),
+        threshold=jnp.asarray(arrays["threshold"], jnp.float32),
+        left=jnp.asarray(arrays["left"], jnp.int32),
+        right=jnp.asarray(arrays["right"], jnp.int32),
+        parent=jnp.asarray(arrays["parent"], jnp.int32),
+        depth=jnp.asarray(arrays["depth"], jnp.int32),
+        active=jnp.asarray(arrays["active"], jnp.bool_),
+    )

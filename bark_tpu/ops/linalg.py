@@ -1,0 +1,109 @@
+"""GP linear algebra: Cholesky MLL path and rank-L Woodbury updates.
+
+The reference maintains a dense kernel inverse and log-determinant across MCMC
+tree moves via Woodbury / matrix-determinant-lemma updates
+(``src/bark/fitting/quick_inverse.py:12-38``) and rebuilds K with a dense
+``np.linalg.inv`` + ``slogdet`` at noise moves
+(``src/bark/fitting/bark_sampler.py:153-162,266-282``). Here:
+
+  - full rebuilds go through Cholesky (K is PSD by construction: the agreement
+    kernel is a sum of one-hot outer products, plus a positive diagonal), with
+    ``inv`` recovered by a triangular solve against I;
+  - incremental updates keep the reference's Woodbury structure — pure
+    matmuls plus a small (L x L) solve/slogdet, MXU-friendly and batched over
+    vmapped chains;
+  - everything is float32 and fixed-shape; the Woodbury identities are
+    verified against dense recomputation in tests (the reference's own oracle,
+    tests/bark_fitting/test_quick_inverse.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+JITTER = 1e-6  # parity: src/bark/fitting/bark_sampler.py:156
+
+
+def mll(K_inv: jax.Array, K_logdet: jax.Array, y: jax.Array) -> jax.Array:
+    """Marginal log-likelihood up to the constant N/2 log(2pi) term.
+
+    Parity: src/bark/fitting/quick_inverse.py:36-38.
+    ``y`` is ``(N, 1)`` or ``(N,)``.
+    """
+    y = y.reshape(-1)
+    quad = y @ (K_inv @ y)
+    return 0.5 * (-quad - K_logdet)
+
+
+def low_rank_inv_update(
+    K_inv: jax.Array, U: jax.Array, subtract: bool = False
+) -> jax.Array:
+    """Woodbury update of a dense inverse: ``(K ± U Uᵀ)⁻¹`` from ``K⁻¹``.
+
+    Parity: src/bark/fitting/quick_inverse.py:12-21. ``U`` is ``(N, L)`` and
+    may contain all-zero columns (padded leaf one-hots) — they contribute
+    nothing.
+    """
+    mul = -1.0 if subtract else 1.0
+    KU = K_inv @ U
+    den = mul * jnp.eye(U.shape[-1], dtype=K_inv.dtype) + U.T @ KU
+    return K_inv - KU @ jnp.linalg.solve(den, KU.T)
+
+
+def low_rank_det_update(
+    K_inv: jax.Array, U: jax.Array, K_logdet: jax.Array, subtract: bool = False
+) -> jax.Array:
+    """Matrix determinant lemma: ``logdet(K ± U Uᵀ)`` from ``logdet(K)``.
+
+    Parity: src/bark/fitting/quick_inverse.py:24-33.
+    """
+    mul = -1.0 if subtract else 1.0
+    small = jnp.eye(U.shape[-1], dtype=K_inv.dtype) + mul * (U.T @ (K_inv @ U))
+    _, logabsdet = jnp.linalg.slogdet(small)
+    return K_logdet + logabsdet
+
+
+def chol_inv_logdet(K: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dense inverse and logdet of a PD matrix via Cholesky.
+
+    Replaces the reference's ``np.linalg.inv`` + ``slogdet``
+    (src/bark/fitting/bark_sampler.py:160-161) — K here is always PSD plus a
+    positive diagonal, so Cholesky is both valid and cheaper/stabler.
+    """
+    L = jnp.linalg.cholesky(K)
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    L_inv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    K_inv = L_inv.T @ L_inv
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    return K_inv, logdet
+
+
+def kernel_matrix(
+    gram: jax.Array, noise: jax.Array, scale: jax.Array
+) -> jax.Array:
+    """``scale * gram + (jitter + noise) I`` for scalar noise/scale.
+
+    Parity: src/bark/fitting/bark_sampler.py:153-156. Batch over samples or
+    chains with ``vmap``.
+    """
+    eye = jnp.eye(gram.shape[-1], dtype=gram.dtype)
+    return scale * gram + (JITTER + noise) * eye
+
+
+def gp_posterior(
+    K_inv: jax.Array,
+    K_xX: jax.Array,
+    y: jax.Array,
+    prior_var: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Posterior mean and diagonal variance for one kernel sample.
+
+    ``mu = K_xX K⁻¹ y``; ``var = prior_var − diag(K_xX K⁻¹ K_xXᵀ)``.
+    Parity: src/bark/tree_kernels/tree_gps.py:107-108 (diag=True path).
+    """
+    y = y.reshape(-1)
+    mu = K_xX @ (K_inv @ y)
+    solve = K_inv @ K_xX.T  # (N, M)
+    var = prior_var - jnp.sum(K_xX * solve.T, axis=-1)
+    return mu, var

@@ -1,0 +1,155 @@
+"""Woodbury / Cholesky linear-algebra oracles.
+
+Parity with the reference's tests/bark_fitting/test_quick_inverse.py:21-101:
+low-rank inverse and determinant updates are checked against dense numpy
+recomputation, including the padded-zero-column case the TPU kernels rely on.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bark_tpu.ops.linalg import (
+    chol_inv_logdet,
+    gp_posterior,
+    kernel_matrix,
+    low_rank_det_update,
+    low_rank_inv_update,
+    mll,
+)
+
+
+def random_spd(n, rng, jitter=1.0):
+    A = rng.standard_normal((n, n))
+    return A @ A.T + jitter * np.eye(n)
+
+
+@pytest.mark.parametrize("n,rank", [(10, 3), (25, 8), (40, 1)])
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("subtract", [False, True])
+def test_low_rank_inv_update_vs_dense(n, rank, seed, subtract):
+    rng = np.random.default_rng(seed)
+    U = rng.standard_normal((n, rank)) * 0.3
+    if subtract:
+        # ensure K - U U^T stays PD: build K containing U U^T
+        K = random_spd(n, rng) + U @ U.T
+    else:
+        K = random_spd(n, rng)
+    K_inv = np.linalg.inv(K)
+
+    got = np.asarray(
+        low_rank_inv_update(
+            jnp.asarray(K_inv, jnp.float64), jnp.asarray(U, jnp.float64), subtract
+        )
+    )
+    sign = -1.0 if subtract else 1.0
+    expect = np.linalg.inv(K + sign * U @ U.T)
+    np.testing.assert_allclose(got, expect, atol=1e-8)
+
+
+@pytest.mark.parametrize("n,rank", [(10, 3), (25, 8)])
+@pytest.mark.parametrize("subtract", [False, True])
+def test_low_rank_det_update_vs_dense(n, rank, subtract):
+    rng = np.random.default_rng(2)
+    U = rng.standard_normal((n, rank)) * 0.3
+    K = random_spd(n, rng) + (U @ U.T if subtract else 0)
+    K_inv = np.linalg.inv(K)
+    _, logdet = np.linalg.slogdet(K)
+
+    got = float(
+        low_rank_det_update(
+            jnp.asarray(K_inv, jnp.float64),
+            jnp.asarray(U, jnp.float64),
+            jnp.asarray(logdet, jnp.float64),
+            subtract,
+        )
+    )
+    sign = -1.0 if subtract else 1.0
+    _, expect = np.linalg.slogdet(K + sign * U @ U.T)
+    np.testing.assert_allclose(got, expect, atol=1e-8)
+
+
+@pytest.mark.parametrize("subtract", [False, True])
+def test_updates_ignore_zero_columns(subtract):
+    """Padded (all-zero) columns in U must not change the result — the
+    sampler passes fixed-width leaf one-hots with empty slots."""
+    rng = np.random.default_rng(3)
+    n, rank, pad = 20, 4, 12
+    U = rng.standard_normal((n, rank)) * 0.3
+    U_pad = np.zeros((n, rank + pad))
+    # interleave the real columns among zeros
+    U_pad[:, ::4] = U
+    K = random_spd(n, rng) + (U @ U.T if subtract else 0)
+    K_inv = np.linalg.inv(K)
+    _, logdet = np.linalg.slogdet(K)
+
+    a = np.asarray(
+        low_rank_inv_update(
+            jnp.asarray(K_inv, jnp.float64), jnp.asarray(U, jnp.float64), subtract
+        )
+    )
+    b = np.asarray(
+        low_rank_inv_update(
+            jnp.asarray(K_inv, jnp.float64), jnp.asarray(U_pad, jnp.float64), subtract
+        )
+    )
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+    da = float(
+        low_rank_det_update(
+            jnp.asarray(K_inv, jnp.float64),
+            jnp.asarray(U, jnp.float64),
+            jnp.asarray(logdet, jnp.float64),
+            subtract,
+        )
+    )
+    db = float(
+        low_rank_det_update(
+            jnp.asarray(K_inv, jnp.float64),
+            jnp.asarray(U_pad, jnp.float64),
+            jnp.asarray(logdet, jnp.float64),
+            subtract,
+        )
+    )
+    np.testing.assert_allclose(da, db, atol=1e-9)
+
+
+def test_chol_inv_logdet():
+    rng = np.random.default_rng(4)
+    K = random_spd(15, rng)
+    K_inv, logdet = chol_inv_logdet(jnp.asarray(K, jnp.float64))
+    np.testing.assert_allclose(np.asarray(K_inv), np.linalg.inv(K), atol=1e-9)
+    np.testing.assert_allclose(float(logdet), np.linalg.slogdet(K)[1], atol=1e-9)
+
+
+def test_mll_formula():
+    rng = np.random.default_rng(5)
+    K = random_spd(12, rng)
+    y = rng.standard_normal((12, 1))
+    K_inv = np.linalg.inv(K)
+    _, logdet = np.linalg.slogdet(K)
+    got = float(mll(jnp.asarray(K_inv), jnp.asarray(logdet), jnp.asarray(y)))
+    expect = 0.5 * (-(y.T @ K_inv @ y)[0, 0] - logdet)
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def test_gp_posterior_matches_dense():
+    rng = np.random.default_rng(6)
+    n, m = 20, 7
+    K = random_spd(n, rng)
+    K_inv = np.linalg.inv(K)
+    K_xX = rng.standard_normal((m, n)) * 0.2
+    y = rng.standard_normal((n, 1))
+    mu, var = gp_posterior(
+        jnp.asarray(K_inv), jnp.asarray(K_xX), jnp.asarray(y), jnp.asarray(1.7)
+    )
+    expect_mu = (K_xX @ K_inv @ y).ravel()
+    expect_var = 1.7 - np.diag(K_xX @ K_inv @ K_xX.T)
+    np.testing.assert_allclose(np.asarray(mu), expect_mu, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), expect_var, rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_matrix():
+    gram = np.eye(4) * 0.5 + 0.5
+    K = np.asarray(kernel_matrix(jnp.asarray(gram), jnp.asarray(0.1), jnp.asarray(2.0)))
+    np.testing.assert_allclose(K, 2.0 * gram + (1e-6 + 0.1) * np.eye(4), rtol=1e-6)
