@@ -1,0 +1,50 @@
+"""Benchmark workload suite.
+
+Parity: src/bofire_mixed/benchmarks/__init__.py:23-59 — the same registry
+names resolve through ``map_benchmark``. Benchmarks whose reference data
+blobs are absent from the checkout (SVRBench, CCOBench — see the reference's
+.MISSING_LARGE_BLOBS) and the UCI dataset fetcher (network-gated) are
+stubbed with informative errors rather than silently dropped.
+"""
+
+from bark_tpu.benchmarks.base import BENCHMARK_MAP, Benchmark, map_benchmark
+
+# importing registers each benchmark
+from bark_tpu.benchmarks import constrained as _constrained  # noqa: F401
+from bark_tpu.benchmarks import hartmann as _hartmann  # noqa: F401
+from bark_tpu.benchmarks import hpo as _hpo  # noqa: F401
+from bark_tpu.benchmarks import max_bandit as _max_bandit  # noqa: F401
+from bark_tpu.benchmarks import mixed as _mixed  # noqa: F401
+from bark_tpu.benchmarks import pest as _pest  # noqa: F401
+from bark_tpu.benchmarks import reaction_emulator as _reaction  # noqa: F401
+from bark_tpu.benchmarks import tree_function as _tree_function  # noqa: F401
+from bark_tpu.benchmarks import unconstrained as _unconstrained  # noqa: F401
+
+
+def _unavailable(name: str, reason: str):
+    class _Missing(Benchmark):
+        def __init__(self, **kwargs):
+            raise RuntimeError(f"Benchmark {name} unavailable: {reason}")
+
+    _Missing.__name__ = name
+    BENCHMARK_MAP[name] = _Missing
+
+
+# parity with the reference checkout's own gaps:
+_unavailable(
+    "SVRBench",
+    "slice-localization data blob is absent from the reference checkout "
+    "(.MISSING_LARGE_BLOBS); supply the CSV and use DatasetBenchmark-style "
+    "loading to enable",
+)
+_unavailable(
+    "CCOBench",
+    "cellular-coverage powermap blobs are absent from the reference checkout "
+    "(.MISSING_LARGE_BLOBS)",
+)
+_unavailable(
+    "DatasetBenchmark",
+    "requires the ucimlrepo network fetcher, unavailable in this environment",
+)
+
+__all__ = ["BENCHMARK_MAP", "Benchmark", "map_benchmark"]

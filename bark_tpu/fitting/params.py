@@ -47,6 +47,12 @@ class SamplerParams:
     node_limit: int = DEFAULT_NODE_LIMIT
     max_depth: int = DEFAULT_MAX_DEPTH
 
+    # kernel-update backend: "chol" = exact-delta K + Cholesky refactor per
+    # move (latency-optimal at BO problem sizes, drift-free); "woodbury" =
+    # the reference's incremental inverse maintenance
+    # (src/bark/fitting/quick_inverse.py:12-38), preferable at large N
+    kernel_backend: str = "chol"
+
     @property
     def proposal_weights(self) -> tuple[float, float, float]:
         """Normalized (grow, prune, change) probabilities.

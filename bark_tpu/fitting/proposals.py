@@ -143,11 +143,14 @@ def propose_tree(
     bounds: jax.Array,
     feat_types: jax.Array,
     params: SamplerParams,
-) -> tuple[Forest, jax.Array]:
+    return_move: bool = False,
+):
     """One grow/prune/change proposal for a single tree.
 
     ``tree`` fields have shape ``(node_limit,)``. Returns the proposed tree
-    and ``log_q_prior = log q-ratio + log prior-ratio`` (-inf on rejection).
+    and ``log_q_prior = log q-ratio + log prior-ratio`` (-inf on rejection);
+    with ``return_move=True`` also the move code and target node index
+    (consumed by the sampler's incremental leaf-update rule).
     Parity: src/bark/fitting/tree_proposals.py:186-256.
     """
     k_move, k_node, k_split, _ = jax.random.split(key, 4)
@@ -210,4 +213,6 @@ def propose_tree(
     new_tree = _select_tree(reject, tree, proposed)
 
     log_q_prior = jnp.where(reject, -jnp.inf, log_q_ratio + log_prior_ratio)
+    if return_move:
+        return new_tree, log_q_prior, move, n
     return new_tree, log_q_prior

@@ -7,22 +7,36 @@ becomes one pure, fixed-shape function:
   ``step: (key, ChainState) -> ChainState``
 
 scanned over steps and vmapped over chains. Each tree move proposes a
-grow/prune/change edit, updates the maintained kernel inverse/logdet with two
-rank-L Woodbury updates (remove the old tree's leaf vectors, add the new
-ones; bark_sampler.py:233-264), and MH-accepts on the marginal-likelihood
-ratio. The per-step noise/scale move rebuilds K from scratch — via Cholesky
-here instead of ``np.linalg.inv`` (bark_sampler.py:266-282).
+grow/prune/change edit, recomputes the marginal likelihood, and MH-accepts
+on the MLL ratio exactly as the reference does (bark_sampler.py:233-264).
 
-TPU-first design choices:
-  - training-point leaf assignments ``(N, m)`` are carried in the chain state
-    and updated incrementally, so only the *proposed* tree is ever re-routed;
-  - leaf one-hot matrices are compacted to ``node_limit // 2`` columns (the
-    maximum possible leaf count), halving the Woodbury small-matrix work;
-  - all accept/reject logic is masked arithmetic — no host synchronization
-    anywhere inside the scan;
-  - chains vmap within a chip and shard over a mesh axis across chips (see
+TPU-first design choices (this is where the speed comes from — per-op
+*latency*, not FLOPs, dominates at BO problem sizes):
+
+  - **Incremental leaf routing.** Proposals only ever touch terminal or
+    singly-internal nodes, so the new leaf assignment of every training
+    point is a single masked elementwise update of the carried ``(N, m)``
+    leaf matrix — grow re-splits the points in one leaf, prune merges two
+    leaves, change re-splits a singly-internal node's two leaves. No tree
+    descent in the hot loop at all (the reference re-routes all points
+    twice per move, forest.py:70-75).
+  - **Pluggable kernel-update backend** (``params.kernel_backend``):
+      * ``"chol"`` (default): carry K itself; each move applies the exact
+        rank-structured delta ``scale/m * (eq_new - eq_old)`` (two
+        elementwise leaf-agreement comparisons) and refactorizes with one
+        Cholesky — O(N^3) flops but N<=few hundred makes this pure-latency,
+        ~7 sequential ops per move, and drift-free.
+      * ``"woodbury"``: the reference's incremental structure
+        (quick_inverse.py:12-38) with both the inverse and determinant
+        updates driven by a single Cholesky factorization of the SPD
+        capacitance matrix ``I -/+ U^T K^-1 U``; preferable at large N.
+  - All accept/reject logic is masked arithmetic — no host sync in the scan.
+  - Chains vmap within a chip and shard over a mesh axis across chips (see
     bark_tpu.parallel), where the reference ran chains serially
     (``parallel=False``, bark_sampler.py:120).
+  - Padded training rows (fixed-shape BO path) are masked out of the
+    kernel; the MLL correction keeps accept ratios exact
+    (ops.linalg.masked_mll).
 """
 
 from __future__ import annotations
@@ -35,16 +49,25 @@ import jax.numpy as jnp
 
 from bark_tpu.fitting.noise_scale import get_noise_scale_proposal
 from bark_tpu.fitting.params import SamplerParams
-from bark_tpu.fitting.proposals import propose_tree
+from bark_tpu.fitting.proposals import GROW, PRUNE, propose_tree
 from bark_tpu.fitting.traversal import terminal_mask
-from bark_tpu.forest import Forest, gram_from_leaves, route_forest, route_tree
+from bark_tpu.forest import Forest, _split_decision, gram_from_leaves, route_forest
 from bark_tpu.ops.linalg import (
+    JITTER,
     chol_inv_logdet,
     kernel_matrix,
-    low_rank_det_update,
-    low_rank_inv_update,
-    mll,
+    masked_mll,
 )
+
+
+class KernState(NamedTuple):
+    """Kernel carry: exactly one of (K) or (K_inv, K_logdet) is live,
+    depending on the static ``params.kernel_backend``; the other is a
+    zero-size placeholder so the pytree structure stays static."""
+
+    K: jax.Array
+    K_inv: jax.Array
+    K_logdet: jax.Array
 
 
 class ChainState(NamedTuple):
@@ -52,8 +75,7 @@ class ChainState(NamedTuple):
     leaves: jax.Array  # (N, m) int32 — train-point leaf per tree
     noise: jax.Array  # f32 scalar
     scale: jax.Array  # f32 scalar
-    K_inv: jax.Array  # (N, N)
-    K_logdet: jax.Array  # f32 scalar
+    kern: KernState
     mll: jax.Array  # f32 scalar
 
 
@@ -69,20 +91,64 @@ class BARKModel(NamedTuple):
     scale: jax.Array
 
 
-def _compact_leaf_onehot(
-    leaves_j: jax.Array, leaf_mask: jax.Array, num_cols: int
-) -> jax.Array:
-    """One-hot of leaf assignments, compacted to the active-leaf ranks.
+def _empty() -> jax.Array:
+    return jnp.zeros((0,), jnp.float32)
 
-    ``leaves_j`` is (N,) node indices; ``leaf_mask`` the tree's active-leaf
-    mask (node_limit,). Any injective leaf->column map leaves U @ U.T (all
-    that Woodbury consumes) unchanged; ranking among active leaves needs only
-    ``num_cols = node_limit // 2`` columns (a tree of k leaves has 2k-1
-    active nodes).
+
+def _chol_mll(K, y, noise, pad_count):
+    """MLL via one Cholesky; returns (mll, L). NaN-safe under MH (a failed
+    factorization yields NaN mll -> proposal rejected)."""
+    L = jnp.linalg.cholesky(K)
+    z = jax.scipy.linalg.solve_triangular(L, y, lower=True)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    correction = pad_count * jnp.log(JITTER + noise)
+    return 0.5 * (-jnp.sum(z * z) - logdet + correction), L
+
+
+def _leaf_agreement(leaves_j: jax.Array, mask: jax.Array) -> jax.Array:
+    """(N, N) 0/1 matrix: points sharing a leaf in one tree (masked)."""
+    eq = (leaves_j[:, None] == leaves_j[None, :]).astype(jnp.float32)
+    return eq * (mask[:, None] * mask[None, :])
+
+
+def _incremental_leaves(
+    tree: Forest,
+    new_tree: Forest,
+    cur_leaves_j: jax.Array,
+    move: jax.Array,
+    node: jax.Array,
+    X: jax.Array,
+    feat_types: jax.Array,
+) -> jax.Array:
+    """Leaf assignment under the proposed tree, as O(1) masked updates.
+
+    Grow at leaf n: points at n re-split to the two fresh children.
+    Prune at singly-internal n: points at either child merge back to n.
+    Change at singly-internal n: points at either child re-split by the new
+    rule. Exactness relies on proposals only targeting terminal /
+    singly-internal nodes (tree_proposals.py:202-210).
     """
-    ranks = jnp.cumsum(leaf_mask.astype(jnp.int32)) - 1
-    cols = ranks[leaves_j]
-    return jax.nn.one_hot(cols, num_cols, dtype=jnp.float32)
+    is_cat = feat_types == 0
+    # new split rule at `node` (valid for grow/change paths)
+    f = new_tree.feature[node]
+    thr = new_tree.threshold[node]
+    x_val = X[:, f]
+    go_left = _split_decision(x_val, thr, is_cat[f])
+
+    l_new, r_new = new_tree.left[node], new_tree.right[node]
+    split_to = jnp.where(go_left, l_new, r_new)
+
+    at_node = cur_leaves_j == node
+    l_old, r_old = tree.left[node], tree.right[node]
+    at_children = (cur_leaves_j == l_old) | (cur_leaves_j == r_old)
+
+    grown = jnp.where(at_node, split_to, cur_leaves_j)
+    pruned = jnp.where(at_children, node, cur_leaves_j)
+    changed = jnp.where(at_children, split_to, cur_leaves_j)
+
+    return jnp.where(
+        move == GROW, grown, jnp.where(move == PRUNE, pruned, changed)
+    ).astype(jnp.int32)
 
 
 def init_chain_state(
@@ -93,46 +159,113 @@ def init_chain_state(
     y: jax.Array,
     feat_types: jax.Array,
     params: SamplerParams,
+    mask: jax.Array | None = None,
 ) -> ChainState:
     """Route data and factorize the initial kernel.
 
-    Parity: src/bark/fitting/bark_sampler.py:153-162 (dense init), with the
-    inverse/logdet obtained via Cholesky.
+    Parity: src/bark/fitting/bark_sampler.py:153-162.
     """
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), jnp.float32)
+    pad_count = X.shape[0] - jnp.sum(mask)
+    noise = jnp.asarray(noise, jnp.float32)
+    scale = jnp.asarray(scale, jnp.float32)
     leaves = route_forest(forest, X, feat_types, params.max_depth)
-    gram = gram_from_leaves(leaves, leaves, params.node_limit)
+    gram = gram_from_leaves(leaves, leaves, params.node_limit, mask, mask)
     K = kernel_matrix(gram, noise, scale)
-    K_inv, K_logdet = chol_inv_logdet(K)
+    if params.kernel_backend == "chol":
+        mll_val, _ = _chol_mll(K, y.reshape(-1), noise, pad_count)
+        kern = KernState(K=K, K_inv=_empty(), K_logdet=_empty())
+    else:
+        K_inv, K_logdet = chol_inv_logdet(K)
+        mll_val = masked_mll(K_inv, K_logdet, y, noise, pad_count)
+        kern = KernState(K=_empty(), K_inv=K_inv, K_logdet=K_logdet)
     return ChainState(
-        forest=forest,
-        leaves=leaves,
-        noise=jnp.asarray(noise, jnp.float32),
-        scale=jnp.asarray(scale, jnp.float32),
-        K_inv=K_inv,
-        K_logdet=K_logdet,
-        mll=mll(K_inv, K_logdet, y),
+        forest=forest, leaves=leaves, noise=noise, scale=scale, kern=kern,
+        mll=mll_val,
     )
 
 
-def step(
-    key: jax.Array,
-    state: ChainState,
-    X: jax.Array,
-    y: jax.Array,
-    bounds: jax.Array,
-    feat_types: jax.Array,
-    params: SamplerParams,
-) -> ChainState:
-    """One full MCMC step: m tree moves + one noise/scale move.
+def _tree_moves_chol(key, state, X, y, mask, pad_count, bounds, feat_types, params):
+    """m sequential tree moves with exact-delta K maintenance + refactor."""
+    m = params.num_trees
+    tree_keys = jax.random.split(key, m)
+    s_over_m = state.scale / m
+    y_flat = y.reshape(-1)
 
-    Parity: src/bark/fitting/bark_sampler.py:216-284.
-    """
+    def tree_move(carry, inputs):
+        forest, leaves, K, cur_mll = carry
+        tree_idx, k = inputs
+        k_prop, k_accept = jax.random.split(k)
+
+        tree = jax.tree.map(lambda a: a[tree_idx], forest)
+        new_tree, log_q_prior, move, node = propose_tree(
+            k_prop, tree, bounds, feat_types, params, return_move=True
+        )
+
+        cur_leaves_j = leaves[:, tree_idx]
+        new_leaves_j = _incremental_leaves(
+            tree, new_tree, cur_leaves_j, move, node, X, feat_types
+        )
+
+        delta = s_over_m * (
+            _leaf_agreement(new_leaves_j, mask) - _leaf_agreement(cur_leaves_j, mask)
+        )
+        K_new = K + delta
+        new_mll, _ = _chol_mll(K_new, y_flat, state.noise, pad_count)
+
+        log_alpha = log_q_prior + new_mll - cur_mll
+        u = jax.random.uniform(k_accept, dtype=jnp.float32)
+        accept = jnp.log(u) <= jnp.minimum(log_alpha, 0.0)
+
+        sel_tree = jax.tree.map(
+            lambda new, old: jnp.where(accept, new, old), new_tree, tree
+        )
+        forest = jax.tree.map(
+            lambda fa, ta: fa.at[tree_idx].set(ta), forest, sel_tree
+        )
+        leaves = leaves.at[:, tree_idx].set(
+            jnp.where(accept, new_leaves_j, cur_leaves_j)
+        )
+        K = jnp.where(accept, K_new, K)
+        cur_mll = jnp.where(accept, new_mll, cur_mll)
+        return (forest, leaves, K, cur_mll), None
+
+    carry = (state.forest, state.leaves, state.kern.K, state.mll)
+    (forest, leaves, K, cur_mll), _ = jax.lax.scan(
+        tree_move, carry, (jnp.arange(m, dtype=jnp.int32), tree_keys)
+    )
+    return forest, leaves, K, cur_mll
+
+
+def _tree_moves_woodbury(key, state, X, y, mask, pad_count, bounds, feat_types, params):
+    """The reference's incremental inverse maintenance
+    (bark_sampler.py:233-264), with a single SPD Cholesky powering both the
+    Woodbury inverse update and the determinant-lemma update per direction."""
     m = params.num_trees
     num_cols = params.node_limit // 2
-    k_trees, k_hyper, k_hyper_accept = jax.random.split(key, 3)
-    tree_keys = jax.random.split(k_trees, m)
-
+    tree_keys = jax.random.split(key, m)
     s_sqrtm = jnp.sqrt(state.scale / m)
+
+    def compact_onehot(leaves_j, leaf_mask):
+        ranks = jnp.cumsum(leaf_mask.astype(jnp.int32)) - 1
+        return jax.nn.one_hot(ranks[leaves_j], num_cols, dtype=jnp.float32)
+
+    def low_rank_update(K_inv, K_logdet, U, subtract):
+        """(K ± UUᵀ)⁻¹ and logdet via Cholesky of M = I ∓ UᵀK⁻¹U (SPD both
+        ways when the update keeps K PD)."""
+        KU = K_inv @ U
+        UKU = U.T @ KU
+        eye = jnp.eye(U.shape[-1], dtype=K_inv.dtype)
+        M = eye - UKU if subtract else eye + UKU
+        Lm = jnp.linalg.cholesky(M)
+        # logdet(K') = logdet(K) + logdet(I ± UᵀK⁻¹U); for subtract,
+        # logdet(I - UᵀK⁻¹U) = chol-logdet(M)
+        logdet_M = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lm)))
+        W = jax.scipy.linalg.solve_triangular(Lm, KU.T, lower=True)
+        correction = W.T @ W
+        K_inv_new = K_inv + correction if subtract else K_inv - correction
+        return K_inv_new, K_logdet + logdet_M
 
     def tree_move(carry, inputs):
         forest, leaves, K_inv, K_logdet, cur_mll = carry
@@ -140,28 +273,25 @@ def step(
         k_prop, k_accept = jax.random.split(k)
 
         tree = jax.tree.map(lambda a: a[tree_idx], forest)
-        new_tree, log_q_prior = propose_tree(
-            k_prop, tree, bounds, feat_types, params
+        new_tree, log_q_prior, move, node = propose_tree(
+            k_prop, tree, bounds, feat_types, params, return_move=True
         )
 
         cur_leaves_j = leaves[:, tree_idx]
-        new_leaves_j = route_tree(new_tree, X, feat_types, params.max_depth)
-
-        U_cur = s_sqrtm * _compact_leaf_onehot(
-            cur_leaves_j, terminal_mask(tree), num_cols
-        )
-        U_new = s_sqrtm * _compact_leaf_onehot(
-            new_leaves_j, terminal_mask(new_tree), num_cols
+        new_leaves_j = _incremental_leaves(
+            tree, new_tree, cur_leaves_j, move, node, X, feat_types
         )
 
-        # remove the old tree's contribution, add the new one
-        # (bark_sampler.py:243-254)
-        K_inv1 = low_rank_inv_update(K_inv, U_cur, subtract=True)
-        K_logdet1 = low_rank_det_update(K_inv, U_cur, K_logdet, subtract=True)
-        K_inv2 = low_rank_inv_update(K_inv1, U_new)
-        K_logdet2 = low_rank_det_update(K_inv1, U_new, K_logdet1)
+        row_mask = mask[:, None]
+        U_cur = s_sqrtm * row_mask * compact_onehot(cur_leaves_j, terminal_mask(tree))
+        U_new = s_sqrtm * row_mask * compact_onehot(
+            new_leaves_j, terminal_mask(new_tree)
+        )
 
-        new_mll = mll(K_inv2, K_logdet2, y)
+        K_inv1, K_logdet1 = low_rank_update(K_inv, K_logdet, U_cur, subtract=True)
+        K_inv2, K_logdet2 = low_rank_update(K_inv1, K_logdet1, U_new, subtract=False)
+
+        new_mll = masked_mll(K_inv2, K_logdet2, y, state.noise, pad_count)
         log_alpha = log_q_prior + new_mll - cur_mll
         u = jax.random.uniform(k_accept, dtype=jnp.float32)
         accept = jnp.log(u) <= jnp.minimum(log_alpha, 0.0)
@@ -180,31 +310,91 @@ def step(
         cur_mll = jnp.where(accept, new_mll, cur_mll)
         return (forest, leaves, K_inv, K_logdet, cur_mll), None
 
-    carry = (state.forest, state.leaves, state.K_inv, state.K_logdet, state.mll)
+    carry = (
+        state.forest, state.leaves, state.kern.K_inv, state.kern.K_logdet,
+        state.mll,
+    )
     (forest, leaves, K_inv, K_logdet, cur_mll), _ = jax.lax.scan(
         tree_move, carry, (jnp.arange(m, dtype=jnp.int32), tree_keys)
     )
+    return forest, leaves, K_inv, K_logdet, cur_mll
 
-    # --- joint noise/scale move with full K rebuild (bark_sampler.py:266-282)
+
+def step(
+    key: jax.Array,
+    state: ChainState,
+    X: jax.Array,
+    y: jax.Array,
+    bounds: jax.Array,
+    feat_types: jax.Array,
+    params: SamplerParams,
+    mask: jax.Array | None = None,
+) -> ChainState:
+    """One full MCMC step: m tree moves + one noise/scale move.
+
+    Parity: src/bark/fitting/bark_sampler.py:216-284.
+    """
+    if mask is None:
+        mask = jnp.ones((X.shape[0],), jnp.float32)
+    pad_count = X.shape[0] - jnp.sum(mask)
+    k_trees, k_hyper, k_hyper_accept = jax.random.split(key, 3)
+
+    # --- noise/scale proposal (computed up-front; accept decided below) ---
     (new_noise, new_scale), log_q_prior = get_noise_scale_proposal(
         k_hyper, state.noise, state.scale, params
     )
-    gram = gram_from_leaves(leaves, leaves, params.node_limit)
+
+    if params.kernel_backend == "chol":
+        forest, leaves, K, cur_mll = _tree_moves_chol(
+            k_trees, state, X, y, mask, pad_count, bounds, feat_types, params
+        )
+        # hyperparameter move: exact elementwise kernel rescale, no gram
+        # rebuild needed (K is maintained exactly)
+        eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+        gram_part = K - (JITTER + state.noise) * eye
+        K_hyp = (new_scale / state.scale) * gram_part + (JITTER + new_noise) * eye
+        new_mll, _ = _chol_mll(K_hyp, y.reshape(-1), new_noise, pad_count)
+
+        log_alpha = log_q_prior + new_mll - cur_mll
+        u = jax.random.uniform(k_hyper_accept, dtype=jnp.float32)
+        accept = jnp.log(u) <= jnp.minimum(log_alpha, 0.0)
+        kern = KernState(
+            K=jnp.where(accept, K_hyp, K), K_inv=_empty(), K_logdet=_empty()
+        )
+        return ChainState(
+            forest=forest,
+            leaves=leaves,
+            noise=jnp.where(accept, new_noise, state.noise),
+            scale=jnp.where(accept, new_scale, state.scale),
+            kern=kern,
+            mll=jnp.where(accept, new_mll, cur_mll),
+        )
+
+    # --- woodbury backend: full K rebuild at the hyper move
+    # (bark_sampler.py:266-270) ---
+    forest, leaves, K_inv, K_logdet, cur_mll = _tree_moves_woodbury(
+        k_trees, state, X, y, mask, pad_count, bounds, feat_types, params
+    )
+    gram = gram_from_leaves(leaves, leaves, params.node_limit, mask, mask)
     K = kernel_matrix(gram, new_noise, new_scale)
     new_K_inv, new_K_logdet = chol_inv_logdet(K)
-    new_mll = mll(new_K_inv, new_K_logdet, y)
+    new_mll = masked_mll(new_K_inv, new_K_logdet, y, new_noise, pad_count)
 
     log_alpha = log_q_prior + new_mll - cur_mll
     u = jax.random.uniform(k_hyper_accept, dtype=jnp.float32)
     accept = jnp.log(u) <= jnp.minimum(log_alpha, 0.0)
 
+    kern = KernState(
+        K=_empty(),
+        K_inv=jnp.where(accept, new_K_inv, K_inv),
+        K_logdet=jnp.where(accept, new_K_logdet, K_logdet),
+    )
     return ChainState(
         forest=forest,
         leaves=leaves,
         noise=jnp.where(accept, new_noise, state.noise),
         scale=jnp.where(accept, new_scale, state.scale),
-        K_inv=jnp.where(accept, new_K_inv, K_inv),
-        K_logdet=jnp.where(accept, new_K_logdet, K_logdet),
+        kern=kern,
         mll=jnp.where(accept, new_mll, cur_mll),
     )
 
@@ -220,16 +410,17 @@ def run_chain(
     bounds: jax.Array,
     feat_types: jax.Array,
     params: SamplerParams,
+    mask: jax.Array | None = None,
 ) -> tuple[BARKModel, ChainState]:
     """Run one chain: warmup then ``num_samples`` thinned samples.
 
     Parity: the per-chain body of ``_run_bark_sampler_multichain``
     (src/bark/fitting/bark_sampler.py:147-211).
     """
-    state = init_chain_state(forest, noise, scale, X, y, feat_types, params)
+    state = init_chain_state(forest, noise, scale, X, y, feat_types, params, mask)
 
     def one_step(state, k):
-        return step(k, state, X, y, bounds, feat_types, params), None
+        return step(k, state, X, y, bounds, feat_types, params, mask), None
 
     if params.warmup_steps > 0:
         key, k_warm = jax.random.split(key)
@@ -255,17 +446,21 @@ def run_bark_sampler(
     bounds: jax.Array,
     feat_types: jax.Array,
     params: SamplerParams,
+    mask: jax.Array | None = None,
 ) -> BARKModel:
     """Multi-chain driver: vmap chains on-chip.
 
     Parity: src/bark/fitting/bark_sampler.py:95-213 — model fields carry a
     leading ``(num_chains,)`` axis; returns samples with leading
-    ``(num_chains, num_samples)`` axes. For multi-chip sharding see
-    bark_tpu.parallel.sharded_sampler.
+    ``(num_chains, num_samples)`` axes. ``mask`` marks real training rows
+    when X/y are padded to a bucket size (fixed-shape BO path). For
+    multi-chip sharding see bark_tpu.parallel.sharding.
     """
     num_chains = model.noise.shape[0]
     keys = jax.random.split(key, num_chains)
     samples, _ = jax.vmap(
-        lambda k, f, n, s: run_chain(k, f, n, s, X, y, bounds, feat_types, params)
+        lambda k, f, n, s: run_chain(
+            k, f, n, s, X, y, bounds, feat_types, params, mask
+        )
     )(keys, model.forest, model.noise, model.scale)
     return samples

@@ -171,7 +171,11 @@ def leaf_onehot(leaves: jax.Array, node_limit: int, dtype=jnp.float32) -> jax.Ar
 
 @functools.partial(jax.jit, static_argnames=("node_limit",))
 def gram_from_leaves(
-    leaves1: jax.Array, leaves2: jax.Array, node_limit: int
+    leaves1: jax.Array,
+    leaves2: jax.Array,
+    node_limit: int,
+    mask1: jax.Array | None = None,
+    mask2: jax.Array | None = None,
 ) -> jax.Array:
     """Agreement Gram matrix from leaf assignments.
 
@@ -180,10 +184,19 @@ def gram_from_leaves(
     Parity: src/bark/forest.py:78-89 (``forest_gram_matrix``), computed as a
     one-hot × one-hot matmul (inner dim ``m * node_limit``) so XLA tiles it
     onto the MXU; counts are exact in float32 (0/1 values, sums <= m).
+
+    ``mask1``/``mask2`` zero out rows/columns for padded data points — the
+    fixed-shape BO path pads the training set to a bucket size so XLA
+    recompiles only at bucket boundaries, and masked points must contribute
+    nothing to the kernel.
     """
     n, m = leaves1.shape
     z1 = leaf_onehot(leaves1, node_limit).reshape(n, m * node_limit)
     z2 = leaf_onehot(leaves2, node_limit).reshape(leaves2.shape[0], m * node_limit)
+    if mask1 is not None:
+        z1 = z1 * mask1[:, None].astype(z1.dtype)
+    if mask2 is not None:
+        z2 = z2 * mask2[:, None].astype(z2.dtype)
     counts = jax.lax.dot_general(
         z1,
         z2,

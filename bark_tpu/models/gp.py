@@ -1,0 +1,75 @@
+"""Posterior GP prediction over batched forest samples.
+
+Parity target: src/bark/tree_kernels/tree_gps.py:80-131 (``forest_predict``
+and ``mixture_of_gaussians_as_normal``). The reference loops a Numba Gram
+matrix over samples and inverts each kernel densely; here the whole batch is
+one jitted program: leaves are routed once per sample, Gram matrices come
+from one-hot matmuls on the MXU, and solves go through Cholesky.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bark_tpu.forest import Forest, gram_from_leaves, route_forest
+from bark_tpu.ops.linalg import JITTER, chol_inv_logdet, gp_posterior
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def forest_predict(
+    forest: Forest,
+    noise: jax.Array,
+    scale: jax.Array,
+    train_x: jax.Array,
+    train_y: jax.Array,
+    candidates: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = 16,
+    train_mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched posterior mean/variance over all posterior samples.
+
+    Forest fields may carry any leading batch shape (e.g. chains x samples);
+    noise/scale match it. Returns ``mu, var`` of shape ``(S, M)`` with
+    ``S = prod(batch)``, matching the reference's flattened output
+    (tree_gps.py:88-112). ``train_mask`` marks real rows when the training
+    set is padded to a bucket size: masked rows have zero cross-kernel
+    columns and an isolated diagonal block, so they drop out of the
+    posterior exactly.
+    """
+    m, node_limit = forest.num_trees, forest.node_limit
+    flat = jax.tree.map(lambda a: a.reshape(-1, m, node_limit), forest)
+    noise = noise.reshape(-1).astype(jnp.float32)
+    scale = scale.reshape(-1).astype(jnp.float32)
+
+    def one_sample(tree_sample: Forest, noise_s, scale_s):
+        train_leaves = route_forest(tree_sample, train_x, feat_types, max_depth)
+        cand_leaves = route_forest(tree_sample, candidates, feat_types, max_depth)
+        K_XX = scale_s * gram_from_leaves(
+            train_leaves, train_leaves, node_limit, train_mask, train_mask
+        )
+        K_XX = K_XX + (JITTER + noise_s) * jnp.eye(
+            train_x.shape[0], dtype=K_XX.dtype
+        )
+        K_inv, _ = chol_inv_logdet(K_XX)
+        K_xX = scale_s * gram_from_leaves(
+            cand_leaves, train_leaves, node_limit, None, train_mask
+        )
+        return gp_posterior(K_inv, K_xX, train_y, scale_s)
+
+    return jax.vmap(one_sample)(flat, noise, scale)
+
+
+def mixture_of_gaussians_as_normal(
+    mu: jax.Array, var: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Moment-match a uniform mixture of Gaussians to a single Gaussian.
+
+    Parity: src/bark/tree_kernels/tree_gps.py:116-131.
+    """
+    mu_y = jnp.mean(mu, axis=0)
+    var_y = jnp.mean(var + mu**2, axis=0) - mu_y**2
+    return mu_y, var_y

@@ -1,0 +1,205 @@
+"""Surrogate layer: trainable BARK / BARK-prior models over a Domain.
+
+Parity target: src/bofire_mixed/surrogates/bark.py:39-189 (BARKSurrogate /
+BARKPriorSurrogate) — without the BoFire/pydantic machinery: a surrogate is
+constructed from a :class:`~bark_tpu.domain.Domain` plus
+:class:`~bark_tpu.fitting.params.SamplerParams`, consumes ordinal-encoded
+numpy/JAX arrays, and returns numpy predictions.
+
+Behavioral parity highlights:
+  - y is standardized at fit time and un-standardized at predict
+    (surrogates/bark.py:124-129, 83-89);
+  - the sampler warm-starts from the most recent posterior sample and skips
+    warmup after the first fit (surrogates/bark.py:131-141);
+  - predictions collapse the per-sample Gaussians by moment matching and add
+    observation noise per sample (surrogates/bark.py:71-94).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bark_tpu.domain import Domain, Standardize
+from bark_tpu.fitting.params import SamplerParams
+from bark_tpu.fitting.prior import sample_forest_prior, sample_noise_prior
+from bark_tpu.fitting.sampler import BARKModel, run_bark_sampler
+from bark_tpu.forest import Forest, create_empty_forest
+from bark_tpu.models.gp import forest_predict, mixture_of_gaussians_as_normal
+
+
+def bucket_size(n: int, bucket: int = 32) -> int:
+    """Round n up to a padding bucket so jit shapes change rarely during BO."""
+    return max(bucket, ((n + bucket - 1) // bucket) * bucket)
+
+
+class _BARKSurrogateBase:
+    def __init__(self, domain: Domain, params: SamplerParams):
+        self.domain = domain
+        self.params = params
+        self.scaler = Standardize()
+        self.model: BARKModel | None = None
+        self.train_data: tuple[jax.Array, jax.Array] | None = None
+        self.train_mask: jax.Array | None = None
+        self._bounds = jnp.asarray(domain.bounds("bitmask"))
+        self._feat_types = jnp.asarray(domain.feature_types())
+
+    @property
+    def is_fitted(self) -> bool:
+        return self.model is not None
+
+    def model_as_tuple(self) -> BARKModel | None:
+        return self.model
+
+    def predict(
+        self, X, batched: bool = False, predict_observed: bool = True
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Posterior mean and standard deviation, shape ``([S,] N, 1)``.
+
+        Parity: surrogates/bark.py:71-94 (returns mu and **std**).
+        """
+        candidates = jnp.asarray(self.domain.transform(X))
+        train_x, train_y = self.train_data
+        mu, var = forest_predict(
+            self.model.forest,
+            self.model.noise,
+            self.model.scale,
+            train_x,
+            train_y,
+            candidates,
+            self._feat_types,
+            self.params.max_depth,
+            train_mask=self.train_mask,
+        )
+        mu, var = self.scaler.untransform_mu_var(np.asarray(mu), np.asarray(var))
+        if predict_observed:
+            noise_flat = np.asarray(self.model.noise).reshape(-1, 1)
+            var = var + noise_flat * self.scaler.std**2
+        if not batched:
+            mu, var = mixture_of_gaussians_as_normal(
+                jnp.asarray(mu), jnp.asarray(var)
+            )
+            mu, var = np.asarray(mu), np.asarray(var)
+        return mu[..., None], np.sqrt(var[..., None])
+
+    def _store_train_data(self, X, y):
+        """Standardize y and pad (X, y) to a bucket size with a row mask.
+
+        Padding keeps jit shapes stable as the BO training set grows one
+        point per iteration (recompiles happen only at bucket boundaries);
+        masked rows are provably inert in the kernel, MLL, and posterior.
+        """
+        X = self.domain.transform(X)
+        y = np.asarray(y, np.float64).reshape(-1)
+        y_std = self.scaler(y, train=True)
+        n = X.shape[0]
+        n_pad = bucket_size(n)
+        X_pad = np.zeros((n_pad, X.shape[1]), np.float32)
+        X_pad[:n] = X
+        X_pad[n:] = X[0] if n else 0.0  # valid in-domain filler rows
+        y_pad = np.zeros((n_pad,), np.float32)
+        y_pad[:n] = y_std
+        mask = np.zeros((n_pad,), np.float32)
+        mask[:n] = 1.0
+        self.train_data = (jnp.asarray(X_pad), jnp.asarray(y_pad))
+        self.train_mask = jnp.asarray(mask)
+
+
+class BARKSurrogate(_BARKSurrogateBase):
+    """Fully-Bayesian BARK surrogate (MCMC over forest + hyperparameters)."""
+
+    def __init__(self, domain: Domain, params: SamplerParams | None = None, seed: int = 0):
+        super().__init__(domain, params or SamplerParams())
+        self._key = jax.random.key(seed)
+        self._warmed_up = False
+
+    def _init_state(self) -> BARKModel:
+        """Empty forests, noise 0.1, scale 1.0 (surrogates/bark.py:116-121)."""
+        c = self.params.num_chains
+        forest = create_empty_forest(
+            self.params.num_trees, self.params.node_limit, batch_shape=(c,)
+        )
+        return BARKModel(
+            forest=forest,
+            noise=jnp.full((c,), 0.1, jnp.float32),
+            scale=jnp.ones((c,), jnp.float32),
+        )
+
+    def fit(self, X, y):
+        self._store_train_data(X, y)
+        if not self.is_fitted:
+            start = self._init_state()
+            params = self.params
+        else:
+            # warm start from the most recent sample; skip warmup
+            # (surrogates/bark.py:131-141)
+            start = BARKModel(
+                forest=jax.tree.map(lambda a: a[:, -1], self.model.forest),
+                noise=self.model.noise[:, -1],
+                scale=self.model.scale[:, -1],
+            )
+            params = self.params.with_(warmup_steps=0)
+
+        self._key, k = jax.random.split(self._key)
+        train_x, train_y = self.train_data
+        self.model = run_bark_sampler(
+            k,
+            start,
+            train_x,
+            train_y,
+            self._bounds,
+            self._feat_types,
+            params,
+            mask=self.train_mask,
+        )
+        return self
+
+
+class BARKPriorSurrogate(_BARKSurrogateBase):
+    """Prior-only ablation: forests/noise drawn from the BARK prior.
+
+    Parity: surrogates/bark.py:152-189 (gamma(2.5, 9) noise prior default,
+    scale fixed at 1).
+    """
+
+    def __init__(
+        self,
+        domain: Domain,
+        params: SamplerParams | None = None,
+        num_samples: int = 5,
+        seed: int = 0,
+    ):
+        params = params or SamplerParams(
+            gamma_prior_shape=2.5, gamma_prior_rate=9.0
+        )
+        super().__init__(domain, params)
+        self.num_samples = num_samples
+        self._key = jax.random.key(seed)
+
+    def fit(self, X, y):
+        self._store_train_data(X, y)
+        self._key, k_forest, k_noise = jax.random.split(self._key, 3)
+        forest = sample_forest_prior(
+            k_forest,
+            self.params.num_trees,
+            self._bounds,
+            self._feat_types,
+            alpha=self.params.alpha,
+            beta=self.params.beta,
+            num_samples=self.num_samples,
+            node_limit=self.params.node_limit,
+            max_depth=self.params.max_depth,
+        )
+        noise = sample_noise_prior(
+            k_noise,
+            self.params.gamma_prior_shape,
+            self.params.gamma_prior_rate,
+            self.num_samples,
+        )
+        self.model = BARKModel(
+            forest=forest,
+            noise=noise.astype(jnp.float32),
+            scale=jnp.ones((self.num_samples,), jnp.float32),
+        )
+        return self

@@ -36,6 +36,27 @@ def mll(K_inv: jax.Array, K_logdet: jax.Array, y: jax.Array) -> jax.Array:
     return 0.5 * (-quad - K_logdet)
 
 
+def masked_mll(
+    K_inv: jax.Array,
+    K_logdet: jax.Array,
+    y: jax.Array,
+    noise: jax.Array,
+    pad_count: jax.Array,
+) -> jax.Array:
+    """MLL over the *real* data block of a padded kernel system.
+
+    With padded rows masked out of the Gram matrix, K is block-diagonal:
+    ``[K_real, (jitter + noise) I_pad]``. Padded y entries are 0, so the
+    quadratic term is unaffected; the log-determinant over-counts by exactly
+    ``pad_count * log(jitter + noise)``, which this subtracts so MH accept
+    ratios (including noise moves) match the unpadded system exactly.
+    """
+    y = y.reshape(-1)
+    quad = y @ (K_inv @ y)
+    correction = pad_count * jnp.log(JITTER + noise)
+    return 0.5 * (-quad - K_logdet + correction)
+
+
 def low_rank_inv_update(
     K_inv: jax.Array, U: jax.Array, subtract: bool = False
 ) -> jax.Array:

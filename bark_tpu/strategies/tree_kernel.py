@@ -1,0 +1,165 @@
+"""Ask/tell BO strategy around a tree surrogate + parallel acquisition search.
+
+Parity target: src/bofire_mixed/strategies/tree_kernel.py:22-89
+(TreeKernelStrategy): tell() fits the surrogate on all experiments; ask()
+builds the acquisition over the posterior samples (kappa = 1.96) and proposes
+the leaf-box center of the optimum, falling back to a random candidate if
+the optimizer fails. The strategy is framework-native: numpy/ordinal arrays
+in and out, no pandas/pydantic dependency (dict/DataFrame input accepted via
+``Domain.transform``).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bark_tpu.domain import Domain
+from bark_tpu.fitting.params import SamplerParams
+from bark_tpu.models.surrogate import (
+    BARKPriorSurrogate,
+    BARKSurrogate,
+    _BARKSurrogateBase,
+)
+from bark_tpu.optimizer.acquisition import DEFAULT_KAPPA, build_acquisition
+from bark_tpu.optimizer.search import propose
+
+logger = logging.getLogger(__name__)
+
+
+class TreeKernelStrategy:
+    """BO loop driver: alternate surrogate MCMC fits with acquisition search."""
+
+    def __init__(
+        self,
+        domain: Domain,
+        surrogate: _BARKSurrogateBase | None = None,
+        params: SamplerParams | None = None,
+        kappa: float = DEFAULT_KAPPA,
+        seed: int = 0,
+        num_candidates: int = 4096,
+        num_rounds: int = 4,
+    ):
+        self.domain = domain
+        self.surrogate = surrogate or BARKSurrogate(domain, params, seed=seed)
+        self.kappa = kappa
+        self.num_candidates = num_candidates
+        self.num_rounds = num_rounds
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.key(seed + 1)
+        self.X: np.ndarray | None = None
+        self.y: np.ndarray | None = None
+
+    # --- tell ------------------------------------------------------------
+
+    def tell(self, X, y) -> None:
+        """Record experiments (full history) and refit the surrogate.
+
+        Parity: strategies/tree_kernel.py:31-32.
+        """
+        X = self.domain.transform(X)
+        y = np.asarray(y, np.float64).reshape(-1)
+        self.X, self.y = X, y
+        if self.has_sufficient_experiments():
+            self.surrogate.fit(X, y)
+
+    def add(self, X_new, y_new) -> None:
+        """Append new experiments to the history and refit."""
+        X_new = self.domain.transform(X_new)
+        y_new = np.asarray(y_new, np.float64).reshape(-1)
+        if self.X is None:
+            self.tell(X_new, y_new)
+        else:
+            self.tell(
+                np.vstack([self.X, X_new]), np.concatenate([self.y, y_new])
+            )
+
+    def has_sufficient_experiments(self) -> bool:
+        """Parity: strategies/tree_kernel.py:75-89 (needs > 1)."""
+        return self.y is not None and len(self.y) > 1
+
+    # --- ask -------------------------------------------------------------
+
+    def ask(self, candidate_count: int = 1) -> np.ndarray:
+        """Propose the next candidate(s), ordinal-encoded ``(k, D)``.
+
+        Parity: strategies/tree_kernel.py:37-57, incl. the random-candidate
+        fallback on optimizer failure.
+        """
+        assert candidate_count == 1, "BARK proposes single candidates"
+        if not self.has_sufficient_experiments() or not self.surrogate.is_fitted:
+            return self.domain.sample(1, self._rng)
+
+        try:
+            train_x, train_y = self.surrogate.train_data
+            acq = build_acquisition(
+                self.surrogate.model,
+                train_x,
+                train_y,
+                jnp.asarray(self.domain.feature_types()),
+                self.surrogate.params.max_depth,
+                train_mask=self.surrogate.train_mask,
+            )
+            self._key, k = jax.random.split(self._key)
+            candidate, _ = propose(
+                k,
+                acq,
+                self.domain,
+                jnp.asarray(self.domain.feature_types()),
+                kappa=self.kappa,
+                num_candidates=self.num_candidates,
+                num_rounds=self.num_rounds,
+                max_depth=self.surrogate.params.max_depth,
+                rng=self._rng,
+            )
+            return candidate[None, :]
+        except Exception:
+            logger.warning(
+                "Failed to optimize acqf, proposing random candidate.",
+                exc_info=True,
+            )
+            return self.domain.sample(1, self._rng)
+
+    def predict(self, X) -> tuple[np.ndarray, np.ndarray]:
+        return self.surrogate.predict(X)
+
+
+def make_strategy(name: str, domain: Domain, seed: int = 0, **kwargs):
+    """Strategy registry (parity: data_models/strategies/mapper.py:18-22)."""
+    if name in ("BARK", "TreeKernel"):
+        return TreeKernelStrategy(domain, seed=seed, **kwargs)
+    if name == "BARKPrior":
+        sur = BARKPriorSurrogate(domain, seed=seed)
+        return TreeKernelStrategy(domain, surrogate=sur, seed=seed, **kwargs)
+    if name == "Random":
+        return RandomStrategy(domain, seed=seed)
+    raise KeyError(f"Unknown strategy: {name}")
+
+
+class RandomStrategy:
+    """Uniform-random baseline (the reference falls back to BoFire's)."""
+
+    def __init__(self, domain: Domain, seed: int = 0):
+        self.domain = domain
+        self._rng = np.random.default_rng(seed)
+        self.X = None
+        self.y = None
+
+    def tell(self, X, y) -> None:
+        self.X = self.domain.transform(X)
+        self.y = np.asarray(y, np.float64).reshape(-1)
+
+    def add(self, X_new, y_new) -> None:
+        X_new = self.domain.transform(X_new)
+        y_new = np.asarray(y_new, np.float64).reshape(-1)
+        if self.X is None:
+            self.X, self.y = X_new, y_new
+        else:
+            self.X = np.vstack([self.X, X_new])
+            self.y = np.concatenate([self.y, y_new])
+
+    def ask(self, candidate_count: int = 1) -> np.ndarray:
+        return self.domain.sample(candidate_count, self._rng)
