@@ -15,6 +15,7 @@ from bark_tpu.benchmarks import hartmann as _hartmann  # noqa: F401
 from bark_tpu.benchmarks import hpo as _hpo  # noqa: F401
 from bark_tpu.benchmarks import max_bandit as _max_bandit  # noqa: F401
 from bark_tpu.benchmarks import mixed as _mixed  # noqa: F401
+from bark_tpu.benchmarks import multi_fidelity as _multi_fidelity  # noqa: F401
 from bark_tpu.benchmarks import pest as _pest  # noqa: F401
 from bark_tpu.benchmarks import reaction_emulator as _reaction  # noqa: F401
 from bark_tpu.benchmarks import tree_function as _tree_function  # noqa: F401

@@ -1,0 +1,103 @@
+"""Gradient-boosted-forest fitting and import into the BARK encoding.
+
+Parity: src/bark/fitting/lgbm_fitting.py:15-83 — the reference fits a
+LightGBM booster (depth 3, 50 rounds, categorical support) and converts the
+dumped tree model into the flat forest encoding for the non-Bayesian LeafGP
+path. Here the booster is sklearn's GradientBoostingRegressor (LightGBM is
+not in this image; used when available via the same converter hooks), and
+conversion targets :class:`bark_tpu.forest.Forest` directly.
+
+Categorical handling: sklearn trees split ordinally-encoded categoricals
+with numeric thresholds. To preserve BARK's bitmask split semantics, each
+numeric split ``x <= t`` on a categorical feature is converted into the
+equivalent bitmask over categories {0..t} (an ordinal-contiguous subset —
+a strict subset of LightGBM's arbitrary-subset splits; documented
+capability difference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bark_tpu.domain import Domain
+from bark_tpu.forest import FEAT_CAT, Forest, forest_from_numpy
+
+
+def fit_booster_forest(
+    X: np.ndarray,
+    y: np.ndarray,
+    domain: Domain,
+    num_boost_round: int = 50,
+    max_depth: int = 3,
+    node_limit: int = 64,
+    random_state: int = 0,
+) -> Forest:
+    """Fit a GBDT on ordinal-encoded data and import it as a Forest.
+
+    Parity: fit_lgbm_forest defaults (lgbm_fitting.py:15-47 — depth 3,
+    50 rounds).
+    """
+    from sklearn.ensemble import GradientBoostingRegressor
+
+    model = GradientBoostingRegressor(
+        n_estimators=num_boost_round,
+        max_depth=max_depth,
+        random_state=random_state,
+    )
+    model.fit(np.asarray(X, np.float64), np.asarray(y, np.float64).reshape(-1))
+    cat_idx = set(domain.cat_indices())
+    cat_sizes = {
+        i: len(domain.inputs[i].categories) for i in cat_idx
+    }
+    trees = [
+        _sklearn_tree_to_arrays(est[0].tree_, cat_idx, cat_sizes, node_limit)
+        for est in model.estimators_
+    ]
+    stacked = {k: np.stack([t[k] for t in trees]) for k in trees[0]}
+    return forest_from_numpy(stacked)
+
+
+def _sklearn_tree_to_arrays(tree, cat_idx, cat_sizes, node_limit) -> dict:
+    """Convert one sklearn tree into the flat free-list encoding.
+
+    Parity: lgbm_to_bark_forest (lgbm_fitting.py:50-83) — breadth-agnostic
+    reindex into (node_limit,) arrays with parent/depth bookkeeping.
+    """
+    arrs = {
+        "is_leaf": np.zeros(node_limit, bool),
+        "feature": np.zeros(node_limit, np.int32),
+        "threshold": np.zeros(node_limit, np.float32),
+        "left": np.zeros(node_limit, np.int32),
+        "right": np.zeros(node_limit, np.int32),
+        "parent": np.zeros(node_limit, np.int32),
+        "depth": np.zeros(node_limit, np.int32),
+        "active": np.zeros(node_limit, bool),
+    }
+    if tree.node_count > node_limit:
+        raise OverflowError(
+            f"booster tree has {tree.node_count} nodes > node_limit {node_limit}"
+        )
+    # sklearn node ids are already a flat preorder; map them 1:1
+    for nid in range(tree.node_count):
+        arrs["active"][nid] = True
+        left, right = tree.children_left[nid], tree.children_right[nid]
+        if left == -1:  # leaf
+            arrs["is_leaf"][nid] = True
+            continue
+        f = int(tree.feature[nid])
+        t = float(tree.threshold[nid])
+        if f in cat_idx:
+            # ordinal split "cat <= t" -> bitmask over categories {0..floor(t)}
+            upper = int(np.floor(t))
+            mask = (1 << (upper + 1)) - 1 if upper >= 0 else 0
+            mask &= (1 << cat_sizes[f]) - 1
+            t = float(mask)
+        arrs["feature"][nid] = f
+        arrs["threshold"][nid] = t
+        arrs["left"][nid] = left
+        arrs["right"][nid] = right
+        arrs["parent"][left] = nid
+        arrs["parent"][right] = nid
+        arrs["depth"][left] = arrs["depth"][nid] + 1
+        arrs["depth"][right] = arrs["depth"][nid] + 1
+    return arrs

@@ -137,22 +137,25 @@ def _select_tree(pred: jax.Array, a: Forest, b: Forest) -> Forest:
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def propose_tree(
+def propose_tree_packed(
     key: jax.Array,
-    tree: Forest,
+    packed: jax.Array,
     bounds: jax.Array,
     feat_types: jax.Array,
     params: SamplerParams,
-    return_move: bool = False,
 ):
-    """One grow/prune/change proposal for a single tree.
+    """One grow/prune/change proposal on a packed ``(node_limit, 8)`` tree.
 
-    ``tree`` fields have shape ``(node_limit,)``. Returns the proposed tree
-    and ``log_q_prior = log q-ratio + log prior-ratio`` (-inf on rejection);
-    with ``return_move=True`` also the move code and target node index
-    (consumed by the sampler's incremental leaf-update rule).
+    The hot-loop variant: decision logic reads unpacked field views (fused
+    slices), structural edits are whole-row scatters on the packed array —
+    a handful of ops per move instead of dozens (the sampler scan is
+    latency-bound on op count). Returns
+    ``(new_packed, log_q_prior, move, node_idx)``.
     Parity: src/bark/fitting/tree_proposals.py:186-256.
     """
+    from bark_tpu.forest import unpack_forest
+
+    tree = unpack_forest(packed)
     k_move, k_node, k_split, _ = jax.random.split(key, 4)
 
     weights = jnp.array(params.proposal_weights, dtype=jnp.float32)
@@ -195,24 +198,64 @@ def propose_tree(
 
     # --- depth-prior ratio (tree_proposals.py:120-143) --------------------
     alpha, beta = params.alpha, params.beta
-    d = tree.depth[n].astype(jnp.float32)
+    d_f = tree.depth[n].astype(jnp.float32)
     pr = (
         jnp.log(alpha)
-        + 2.0 * jnp.log(1.0 - alpha / (2.0 + d) ** beta)
-        - jnp.log((1.0 + d) ** beta - alpha)
+        + 2.0 * jnp.log(1.0 - alpha / (2.0 + d_f) ** beta)
+        - jnp.log((1.0 + d_f) ** beta - alpha)
     )
     log_prior_ratio = jnp.where(is_grow, pr, jnp.where(is_prune, -pr, 0.0))
 
-    # --- structural edit as masked selects --------------------------------
-    grown = _grow(tree, n, i1, i2, feat, thr)
-    pruned = _prune(tree, n)
-    changed = _change(tree, n, feat, thr)
-    proposed = _select_tree(
-        is_grow, grown, _select_tree(is_prune, pruned, changed)
+    # --- structural edit: whole-row scatters on the packed tree -----------
+    thr_bits = jax.lax.bitcast_convert_type(
+        thr.astype(jnp.float32), jnp.int32
     )
-    new_tree = _select_tree(reject, tree, proposed)
+    zero = jnp.int32(0)
+    one = jnp.int32(1)
+    d1 = tree.depth[n] + 1
+    child_row = jnp.stack([one, zero, zero, zero, zero, n, d1, one])
+    parent_row = jnp.stack(
+        [zero, feat, thr_bits, i1, i2, tree.parent[n], tree.depth[n], one]
+    )
+    grown = packed.at[i1].set(child_row).at[i2].set(child_row).at[n].set(
+        parent_row
+    )
+
+    l, r = tree.left[n], tree.right[n]
+    pruned = packed.at[l, 7].set(0).at[r, 7].set(0).at[n, 0].set(1)
+
+    changed = packed.at[n, 1].set(feat).at[n, 2].set(thr_bits)
+
+    proposed = jnp.where(
+        is_grow, grown, jnp.where(is_prune, pruned, changed)
+    )
+    new_packed = jnp.where(reject, packed, proposed)
 
     log_q_prior = jnp.where(reject, -jnp.inf, log_q_ratio + log_prior_ratio)
+    return new_packed, log_q_prior, move, n
+
+
+def propose_tree(
+    key: jax.Array,
+    tree: Forest,
+    bounds: jax.Array,
+    feat_types: jax.Array,
+    params: SamplerParams,
+    return_move: bool = False,
+):
+    """Forest-typed wrapper around :func:`propose_tree_packed`.
+
+    ``tree`` fields have shape ``(node_limit,)``. Returns the proposed tree
+    and ``log_q_prior = log q-ratio + log prior-ratio`` (-inf on rejection);
+    with ``return_move=True`` also the move code and target node index.
+    Parity: src/bark/fitting/tree_proposals.py:186-256.
+    """
+    from bark_tpu.forest import pack_forest, unpack_forest
+
+    new_packed, log_q_prior, move, n = propose_tree_packed(
+        key, pack_forest(tree), bounds, feat_types, params
+    )
+    new_tree = unpack_forest(new_packed)
     if return_move:
         return new_tree, log_q_prior, move, n
     return new_tree, log_q_prior

@@ -49,9 +49,16 @@ import jax.numpy as jnp
 
 from bark_tpu.fitting.noise_scale import get_noise_scale_proposal
 from bark_tpu.fitting.params import SamplerParams
-from bark_tpu.fitting.proposals import GROW, PRUNE, propose_tree
+from bark_tpu.fitting.proposals import GROW, PRUNE, propose_tree_packed
 from bark_tpu.fitting.traversal import terminal_mask
-from bark_tpu.forest import Forest, _split_decision, gram_from_leaves, route_forest
+from bark_tpu.forest import (
+    Forest,
+    _split_decision,
+    gram_from_leaves,
+    pack_forest,
+    route_forest,
+    unpack_forest,
+)
 from bark_tpu.ops.linalg import (
     JITTER,
     chol_inv_logdet,
@@ -112,8 +119,8 @@ def _leaf_agreement(leaves_j: jax.Array, mask: jax.Array) -> jax.Array:
 
 
 def _incremental_leaves(
-    tree: Forest,
-    new_tree: Forest,
+    row_old: jax.Array,
+    row_new: jax.Array,
     cur_leaves_j: jax.Array,
     move: jax.Array,
     node: jax.Array,
@@ -122,24 +129,25 @@ def _incremental_leaves(
 ) -> jax.Array:
     """Leaf assignment under the proposed tree, as O(1) masked updates.
 
-    Grow at leaf n: points at n re-split to the two fresh children.
-    Prune at singly-internal n: points at either child merge back to n.
-    Change at singly-internal n: points at either child re-split by the new
-    rule. Exactness relies on proposals only targeting terminal /
-    singly-internal nodes (tree_proposals.py:202-210).
+    ``row_old``/``row_new`` are the packed (8,) node records of the proposal
+    target before/after the edit. Grow at leaf n: points at n re-split to
+    the two fresh children. Prune at singly-internal n: points at either
+    child merge back to n. Change at singly-internal n: points at either
+    child re-split by the new rule. Exactness relies on proposals only
+    targeting terminal / singly-internal nodes (tree_proposals.py:202-210).
     """
     is_cat = feat_types == 0
     # new split rule at `node` (valid for grow/change paths)
-    f = new_tree.feature[node]
-    thr = new_tree.threshold[node]
+    f = row_new[1]
+    thr = jax.lax.bitcast_convert_type(row_new[2], jnp.float32)
     x_val = X[:, f]
     go_left = _split_decision(x_val, thr, is_cat[f])
 
-    l_new, r_new = new_tree.left[node], new_tree.right[node]
+    l_new, r_new = row_new[3], row_new[4]
     split_to = jnp.where(go_left, l_new, r_new)
 
     at_node = cur_leaves_j == node
-    l_old, r_old = tree.left[node], tree.right[node]
+    l_old, r_old = row_old[3], row_old[4]
     at_children = (cur_leaves_j == l_old) | (cur_leaves_j == r_old)
 
     grown = jnp.where(at_node, split_to, cur_leaves_j)
@@ -186,26 +194,33 @@ def init_chain_state(
     )
 
 
-def _tree_moves_chol(key, state, X, y, mask, pad_count, bounds, feat_types, params):
-    """m sequential tree moves with exact-delta K maintenance + refactor."""
+def _tree_moves_chol(
+    key, state, X, y, mask, pad_count, bounds, feat_types, params, beta=1.0
+):
+    """m sequential tree moves with exact-delta K maintenance + refactor.
+
+    ``beta`` is an inverse temperature: the MH ratio uses beta * delta-MLL
+    (likelihood tempering for parallel tempering / SMC; beta=1 recovers the
+    reference sampler)."""
     m = params.num_trees
     tree_keys = jax.random.split(key, m)
     s_over_m = state.scale / m
     y_flat = y.reshape(-1)
 
     def tree_move(carry, inputs):
-        forest, leaves, K, cur_mll = carry
+        packed, leaves, K, cur_mll = carry
         tree_idx, k = inputs
         k_prop, k_accept = jax.random.split(k)
 
-        tree = jax.tree.map(lambda a: a[tree_idx], forest)
-        new_tree, log_q_prior, move, node = propose_tree(
-            k_prop, tree, bounds, feat_types, params, return_move=True
+        tree_packed = packed[tree_idx]
+        new_packed, log_q_prior, move, node = propose_tree_packed(
+            k_prop, tree_packed, bounds, feat_types, params
         )
 
         cur_leaves_j = leaves[:, tree_idx]
         new_leaves_j = _incremental_leaves(
-            tree, new_tree, cur_leaves_j, move, node, X, feat_types
+            tree_packed[node], new_packed[node], cur_leaves_j, move, node, X,
+            feat_types,
         )
 
         delta = s_over_m * (
@@ -214,31 +229,30 @@ def _tree_moves_chol(key, state, X, y, mask, pad_count, bounds, feat_types, para
         K_new = K + delta
         new_mll, _ = _chol_mll(K_new, y_flat, state.noise, pad_count)
 
-        log_alpha = log_q_prior + new_mll - cur_mll
+        log_alpha = log_q_prior + beta * (new_mll - cur_mll)
         u = jax.random.uniform(k_accept, dtype=jnp.float32)
         accept = jnp.log(u) <= jnp.minimum(log_alpha, 0.0)
 
-        sel_tree = jax.tree.map(
-            lambda new, old: jnp.where(accept, new, old), new_tree, tree
-        )
-        forest = jax.tree.map(
-            lambda fa, ta: fa.at[tree_idx].set(ta), forest, sel_tree
+        packed = packed.at[tree_idx].set(
+            jnp.where(accept, new_packed, tree_packed)
         )
         leaves = leaves.at[:, tree_idx].set(
             jnp.where(accept, new_leaves_j, cur_leaves_j)
         )
         K = jnp.where(accept, K_new, K)
         cur_mll = jnp.where(accept, new_mll, cur_mll)
-        return (forest, leaves, K, cur_mll), None
+        return (packed, leaves, K, cur_mll), None
 
-    carry = (state.forest, state.leaves, state.kern.K, state.mll)
-    (forest, leaves, K, cur_mll), _ = jax.lax.scan(
+    carry = (pack_forest(state.forest), state.leaves, state.kern.K, state.mll)
+    (packed, leaves, K, cur_mll), _ = jax.lax.scan(
         tree_move, carry, (jnp.arange(m, dtype=jnp.int32), tree_keys)
     )
-    return forest, leaves, K, cur_mll
+    return unpack_forest(packed), leaves, K, cur_mll
 
 
-def _tree_moves_woodbury(key, state, X, y, mask, pad_count, bounds, feat_types, params):
+def _tree_moves_woodbury(
+    key, state, X, y, mask, pad_count, bounds, feat_types, params, beta=1.0
+):
     """The reference's incremental inverse maintenance
     (bark_sampler.py:233-264), with a single SPD Cholesky powering both the
     Woodbury inverse update and the determinant-lemma update per direction."""
@@ -268,39 +282,39 @@ def _tree_moves_woodbury(key, state, X, y, mask, pad_count, bounds, feat_types, 
         return K_inv_new, K_logdet + logdet_M
 
     def tree_move(carry, inputs):
-        forest, leaves, K_inv, K_logdet, cur_mll = carry
+        packed, leaves, K_inv, K_logdet, cur_mll = carry
         tree_idx, k = inputs
         k_prop, k_accept = jax.random.split(k)
 
-        tree = jax.tree.map(lambda a: a[tree_idx], forest)
-        new_tree, log_q_prior, move, node = propose_tree(
-            k_prop, tree, bounds, feat_types, params, return_move=True
+        tree_packed = packed[tree_idx]
+        new_packed, log_q_prior, move, node = propose_tree_packed(
+            k_prop, tree_packed, bounds, feat_types, params
         )
 
         cur_leaves_j = leaves[:, tree_idx]
         new_leaves_j = _incremental_leaves(
-            tree, new_tree, cur_leaves_j, move, node, X, feat_types
+            tree_packed[node], new_packed[node], cur_leaves_j, move, node, X,
+            feat_types,
         )
 
+        # active-leaf masks from the packed records (is_leaf & active bits)
+        leaf_mask_cur = (tree_packed[:, 0] & tree_packed[:, 7]) == 1
+        leaf_mask_new = (new_packed[:, 0] & new_packed[:, 7]) == 1
+
         row_mask = mask[:, None]
-        U_cur = s_sqrtm * row_mask * compact_onehot(cur_leaves_j, terminal_mask(tree))
-        U_new = s_sqrtm * row_mask * compact_onehot(
-            new_leaves_j, terminal_mask(new_tree)
-        )
+        U_cur = s_sqrtm * row_mask * compact_onehot(cur_leaves_j, leaf_mask_cur)
+        U_new = s_sqrtm * row_mask * compact_onehot(new_leaves_j, leaf_mask_new)
 
         K_inv1, K_logdet1 = low_rank_update(K_inv, K_logdet, U_cur, subtract=True)
         K_inv2, K_logdet2 = low_rank_update(K_inv1, K_logdet1, U_new, subtract=False)
 
         new_mll = masked_mll(K_inv2, K_logdet2, y, state.noise, pad_count)
-        log_alpha = log_q_prior + new_mll - cur_mll
+        log_alpha = log_q_prior + beta * (new_mll - cur_mll)
         u = jax.random.uniform(k_accept, dtype=jnp.float32)
         accept = jnp.log(u) <= jnp.minimum(log_alpha, 0.0)
 
-        sel_tree = jax.tree.map(
-            lambda new, old: jnp.where(accept, new, old), new_tree, tree
-        )
-        forest = jax.tree.map(
-            lambda fa, ta: fa.at[tree_idx].set(ta), forest, sel_tree
+        packed = packed.at[tree_idx].set(
+            jnp.where(accept, new_packed, tree_packed)
         )
         leaves = leaves.at[:, tree_idx].set(
             jnp.where(accept, new_leaves_j, cur_leaves_j)
@@ -308,16 +322,16 @@ def _tree_moves_woodbury(key, state, X, y, mask, pad_count, bounds, feat_types, 
         K_inv = jnp.where(accept, K_inv2, K_inv)
         K_logdet = jnp.where(accept, K_logdet2, K_logdet)
         cur_mll = jnp.where(accept, new_mll, cur_mll)
-        return (forest, leaves, K_inv, K_logdet, cur_mll), None
+        return (packed, leaves, K_inv, K_logdet, cur_mll), None
 
     carry = (
-        state.forest, state.leaves, state.kern.K_inv, state.kern.K_logdet,
-        state.mll,
+        pack_forest(state.forest), state.leaves, state.kern.K_inv,
+        state.kern.K_logdet, state.mll,
     )
-    (forest, leaves, K_inv, K_logdet, cur_mll), _ = jax.lax.scan(
+    (packed, leaves, K_inv, K_logdet, cur_mll), _ = jax.lax.scan(
         tree_move, carry, (jnp.arange(m, dtype=jnp.int32), tree_keys)
     )
-    return forest, leaves, K_inv, K_logdet, cur_mll
+    return unpack_forest(packed), leaves, K_inv, K_logdet, cur_mll
 
 
 def step(
@@ -329,10 +343,12 @@ def step(
     feat_types: jax.Array,
     params: SamplerParams,
     mask: jax.Array | None = None,
+    beta: jax.Array | float = 1.0,
 ) -> ChainState:
     """One full MCMC step: m tree moves + one noise/scale move.
 
-    Parity: src/bark/fitting/bark_sampler.py:216-284.
+    Parity: src/bark/fitting/bark_sampler.py:216-284. ``beta`` tempers the
+    likelihood (beta=1 is the reference posterior).
     """
     if mask is None:
         mask = jnp.ones((X.shape[0],), jnp.float32)
@@ -346,7 +362,7 @@ def step(
 
     if params.kernel_backend == "chol":
         forest, leaves, K, cur_mll = _tree_moves_chol(
-            k_trees, state, X, y, mask, pad_count, bounds, feat_types, params
+            k_trees, state, X, y, mask, pad_count, bounds, feat_types, params, beta
         )
         # hyperparameter move: exact elementwise kernel rescale, no gram
         # rebuild needed (K is maintained exactly)
@@ -355,7 +371,7 @@ def step(
         K_hyp = (new_scale / state.scale) * gram_part + (JITTER + new_noise) * eye
         new_mll, _ = _chol_mll(K_hyp, y.reshape(-1), new_noise, pad_count)
 
-        log_alpha = log_q_prior + new_mll - cur_mll
+        log_alpha = log_q_prior + beta * (new_mll - cur_mll)
         u = jax.random.uniform(k_hyper_accept, dtype=jnp.float32)
         accept = jnp.log(u) <= jnp.minimum(log_alpha, 0.0)
         kern = KernState(
@@ -373,14 +389,14 @@ def step(
     # --- woodbury backend: full K rebuild at the hyper move
     # (bark_sampler.py:266-270) ---
     forest, leaves, K_inv, K_logdet, cur_mll = _tree_moves_woodbury(
-        k_trees, state, X, y, mask, pad_count, bounds, feat_types, params
+        k_trees, state, X, y, mask, pad_count, bounds, feat_types, params, beta
     )
     gram = gram_from_leaves(leaves, leaves, params.node_limit, mask, mask)
     K = kernel_matrix(gram, new_noise, new_scale)
     new_K_inv, new_K_logdet = chol_inv_logdet(K)
     new_mll = masked_mll(new_K_inv, new_K_logdet, y, new_noise, pad_count)
 
-    log_alpha = log_q_prior + new_mll - cur_mll
+    log_alpha = log_q_prior + beta * (new_mll - cur_mll)
     u = jax.random.uniform(k_hyper_accept, dtype=jnp.float32)
     accept = jnp.log(u) <= jnp.minimum(log_alpha, 0.0)
 
@@ -411,8 +427,10 @@ def run_chain(
     feat_types: jax.Array,
     params: SamplerParams,
     mask: jax.Array | None = None,
-) -> tuple[BARKModel, ChainState]:
+) -> tuple[BARKModel, ChainState, jax.Array]:
     """Run one chain: warmup then ``num_samples`` thinned samples.
+
+    Returns (samples, final state, per-sample MLL trace).
 
     Parity: the per-chain body of ``_run_bark_sampler_multichain``
     (src/bark/fitting/bark_sampler.py:147-211).
@@ -430,11 +448,13 @@ def run_chain(
     def one_sample(state, k):
         keys = jax.random.split(k, params.steps_per_sample)
         state, _ = jax.lax.scan(one_step, state, keys)
-        return state, (state.forest, state.noise, state.scale)
+        return state, (state.forest, state.noise, state.scale, state.mll)
 
     sample_keys = jax.random.split(key, params.num_samples)
-    state, (forests, noises, scales) = jax.lax.scan(one_sample, state, sample_keys)
-    return BARKModel(forest=forests, noise=noises, scale=scales), state
+    state, (forests, noises, scales, mlls) = jax.lax.scan(
+        one_sample, state, sample_keys
+    )
+    return BARKModel(forest=forests, noise=noises, scale=scales), state, mlls
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -458,9 +478,33 @@ def run_bark_sampler(
     """
     num_chains = model.noise.shape[0]
     keys = jax.random.split(key, num_chains)
-    samples, _ = jax.vmap(
+    samples, _, _ = jax.vmap(
         lambda k, f, n, s: run_chain(
             k, f, n, s, X, y, bounds, feat_types, params, mask
         )
     )(keys, model.forest, model.noise, model.scale)
     return samples
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def run_bark_sampler_with_trace(
+    key: jax.Array,
+    model: BARKModel,
+    X: jax.Array,
+    y: jax.Array,
+    bounds: jax.Array,
+    feat_types: jax.Array,
+    params: SamplerParams,
+    mask: jax.Array | None = None,
+) -> tuple[BARKModel, jax.Array]:
+    """Like run_bark_sampler but also returns per-sample MLL traces
+    ``(num_chains, num_samples)`` — the diagnostics path mirroring
+    examples/mcmc/mcmc_record_mll.py in the reference."""
+    num_chains = model.noise.shape[0]
+    keys = jax.random.split(key, num_chains)
+    samples, _, mlls = jax.vmap(
+        lambda k, f, n, s: run_chain(
+            k, f, n, s, X, y, bounds, feat_types, params, mask
+        )
+    )(keys, model.forest, model.noise, model.scale)
+    return samples, mlls

@@ -263,6 +263,44 @@ def batched_forest_gram_matrix_no_null(
     return (sim - n_null / m) * scale
 
 
+def pack_forest(forest: Forest) -> jax.Array:
+    """Pack the 8 SoA fields into one int32 array ``(..., m, node_limit, 8)``.
+
+    The sampler's hot loop carries the packed form so that per-move forest
+    edits are a single dynamic-update-slice instead of eight (the scan is
+    latency-bound; op count is the budget). ``threshold`` keeps its exact
+    bits via an int32 bitcast.
+    """
+    thr_bits = jax.lax.bitcast_convert_type(forest.threshold, jnp.int32)
+    return jnp.stack(
+        [
+            forest.is_leaf.astype(jnp.int32),
+            forest.feature,
+            thr_bits,
+            forest.left,
+            forest.right,
+            forest.parent,
+            forest.depth,
+            forest.active.astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+
+
+def unpack_forest(packed: jax.Array) -> Forest:
+    """Inverse of :func:`pack_forest` (fields are fused slices under jit)."""
+    return Forest(
+        is_leaf=packed[..., 0].astype(jnp.bool_),
+        feature=packed[..., 1],
+        threshold=jax.lax.bitcast_convert_type(packed[..., 2], jnp.float32),
+        left=packed[..., 3],
+        right=packed[..., 4],
+        parent=packed[..., 5],
+        depth=packed[..., 6],
+        active=packed[..., 7].astype(jnp.bool_),
+    )
+
+
 def forest_from_numpy(arrays: dict) -> Forest:
     """Build a Forest from a dict of numpy arrays (checkpoint loading)."""
     return Forest(

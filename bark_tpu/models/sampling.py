@@ -1,0 +1,111 @@
+"""Posterior function sampling: Thompson/f* draws and Nyström features.
+
+Parity targets (capability-level — the reference modules are stale/
+unimportable, src/bark/tree_kernels/__init__.py is empty):
+  - src/bark/optimizer/thompson_sampling.py:9-27 (``generate_fstar_samples``:
+    draws of the optimum value from the posterior over the training sites);
+  - src/bark/optimizer/nystrom.py:6-42 (low-rank Nyström feature map from
+    the kernel against inducing points, eigenvalue-clamped, used for
+    approximate posterior function samples).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bark_tpu.fitting.sampler import BARKModel
+from bark_tpu.forest import Forest, gram_from_leaves, route_forest
+from bark_tpu.ops.linalg import JITTER
+
+
+@functools.partial(jax.jit, static_argnames=("num_fstar", "max_depth"))
+def generate_fstar_samples(
+    key: jax.Array,
+    model: BARKModel,
+    train_x: jax.Array,
+    train_y: jax.Array,
+    feat_types: jax.Array,
+    num_fstar: int = 16,
+    max_depth: int = 16,
+) -> jax.Array:
+    """Sample optimum values f* from the latent posterior at the train sites.
+
+    For each posterior (forest, noise, scale) sample: the joint latent
+    posterior over f(X_train) is N(mu, Sigma) with
+    ``mu = K (K + nu I)^-1 y`` and ``Sigma = K - K (K + nu I)^-1 K``;
+    draw ``num_fstar`` joint samples and take the minimum over sites.
+    Returns ``(S, num_fstar)``. Parity: thompson_sampling.py:9-27 (which
+    warns about non-PSD covariance — handled here by eigenvalue clamping).
+    """
+    m, node_limit = model.forest.num_trees, model.forest.node_limit
+    flat = jax.tree.map(lambda a: a.reshape(-1, m, node_limit), model.forest)
+    noise = model.noise.reshape(-1).astype(jnp.float32)
+    scale = model.scale.reshape(-1).astype(jnp.float32)
+    y = train_y.reshape(-1)
+    n = train_x.shape[0]
+
+    def per_sample(tree_sample: Forest, noise_s, scale_s, k):
+        leaves = route_forest(tree_sample, train_x, feat_types, max_depth)
+        K = scale_s * gram_from_leaves(leaves, leaves, node_limit)
+        K_s = K + (JITTER + noise_s) * jnp.eye(n)
+        sol = jnp.linalg.solve(K_s, jnp.concatenate([y[:, None], K], axis=1))
+        mu = K @ sol[:, 0]
+        Sigma = K - K @ sol[:, 1:]
+        # eigenvalue-clamped sampling (the agreement kernel is PSD only up
+        # to float error; thompson_sampling.py:17-21 warns on this)
+        evals, evecs = jnp.linalg.eigh(0.5 * (Sigma + Sigma.T))
+        root = evecs * jnp.sqrt(jnp.maximum(evals, 0.0))[None, :]
+        z = jax.random.normal(k, (n, num_fstar))
+        draws = mu[:, None] + root @ z
+        return jnp.min(draws, axis=0)
+
+    keys = jax.random.split(key, noise.shape[0])
+    return jax.vmap(per_sample)(flat, noise, scale, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def construct_nystrom_features(
+    model: BARKModel,
+    inducing_x: jax.Array,
+    candidates: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = 16,
+    eig_floor: float = 1e-6,
+):
+    """Nyström feature map per posterior sample.
+
+    ``phi(x) = K_xZ V diag(clamped eigenvalues)^(-1/2)`` from the
+    eigendecomposition of K_ZZ over the inducing set Z; features satisfy
+    ``phi(x) phi(x')^T ~= k(x, x')``. Returns ``(S, M, Z)``.
+    Parity: nystrom.py:6-38 (pinv + eigh with clamped eigenvalues).
+    """
+    m, node_limit = model.forest.num_trees, model.forest.node_limit
+    flat = jax.tree.map(lambda a: a.reshape(-1, m, node_limit), model.forest)
+    scale = model.scale.reshape(-1).astype(jnp.float32)
+
+    def per_sample(tree_sample: Forest, scale_s):
+        z_leaves = route_forest(tree_sample, inducing_x, feat_types, max_depth)
+        c_leaves = route_forest(tree_sample, candidates, feat_types, max_depth)
+        K_zz = scale_s * gram_from_leaves(z_leaves, z_leaves, node_limit)
+        K_xz = scale_s * gram_from_leaves(c_leaves, z_leaves, node_limit)
+        evals, evecs = jnp.linalg.eigh(K_zz)
+        inv_root = jnp.where(
+            evals > eig_floor, 1.0 / jnp.sqrt(jnp.maximum(evals, eig_floor)), 0.0
+        )
+        return K_xz @ (evecs * inv_root[None, :])
+
+    return jax.vmap(per_sample)(flat, scale)
+
+
+def nystrom_samples(
+    key: jax.Array, features: jax.Array, num_samples: int
+) -> jax.Array:
+    """Approximate prior function draws from Nyström features:
+    ``f(x) = phi(x) @ w`` with w ~ N(0, I). Returns ``(S, num_samples, M)``.
+    Parity: nystrom.py:40-42."""
+    s, m, z = features.shape
+    w = jax.random.normal(key, (s, z, num_samples))
+    return jnp.einsum("smz,szn->snm", features, w)

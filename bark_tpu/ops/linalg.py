@@ -127,4 +127,5 @@ def gp_posterior(
     mu = K_xX @ (K_inv @ y)
     solve = K_inv @ K_xX.T  # (N, M)
     var = prior_var - jnp.sum(K_xX * solve.T, axis=-1)
-    return mu, var
+    # float32 round-off can push tiny posterior variances below zero
+    return mu, jnp.maximum(var, 1e-12)

