@@ -31,12 +31,28 @@ def fit_booster_forest(
     max_depth: int = 3,
     node_limit: int = 64,
     random_state: int = 0,
+    backend: str = "auto",
 ) -> Forest:
     """Fit a GBDT on ordinal-encoded data and import it as a Forest.
 
     Parity: fit_lgbm_forest defaults (lgbm_fitting.py:15-47 — depth 3,
-    50 rounds).
+    50 rounds). ``backend``:
+
+      - ``"native"``: the framework's C++ booster (bark_tpu.native.gbdt) —
+        exact greedy L2 trees with LightGBM-style arbitrary-subset
+        categorical bitmask splits, emitted directly in the flat forest
+        encoding;
+      - ``"sklearn"``: GradientBoostingRegressor fallback (ordinal
+        categorical splits converted to contiguous-prefix bitmasks);
+      - ``"auto"`` (default): native when the toolchain is available.
     """
+    if backend == "auto":
+        from bark_tpu import native
+
+        backend = "native" if native.gbdt_available() else "sklearn"
+    if backend == "native":
+        return _fit_native(X, y, domain, num_boost_round, max_depth, node_limit)
+
     from sklearn.ensemble import GradientBoostingRegressor
 
     model = GradientBoostingRegressor(
@@ -55,6 +71,27 @@ def fit_booster_forest(
     ]
     stacked = {k: np.stack([t[k] for t in trees]) for k in trees[0]}
     return forest_from_numpy(stacked)
+
+
+def _fit_native(X, y, domain, num_boost_round, max_depth, node_limit) -> Forest:
+    """Fit via the C++ booster; trees arrive already in the flat encoding."""
+    from bark_tpu import native
+
+    feat_types = np.asarray(domain.feature_types(), np.int32)
+    cat_sizes = np.zeros(len(feat_types), np.int32)
+    for i in domain.cat_indices():
+        cat_sizes[i] = len(domain.inputs[i].categories)
+    arrays = native.fit_gbdt(
+        np.asarray(X, np.float32),
+        np.asarray(y, np.float32).reshape(-1),
+        feat_types,
+        cat_sizes,
+        num_rounds=num_boost_round,
+        max_depth=max_depth,
+        node_limit=node_limit,
+    )
+    arrays = {k: v for k, v in arrays.items() if k != "leaf_value"}
+    return forest_from_numpy(arrays)
 
 
 def _sklearn_tree_to_arrays(tree, cat_idx, cat_sizes, node_limit) -> dict:
