@@ -51,16 +51,26 @@ def sample_binary_mask(key: jax.Array, mask: jax.Array) -> jax.Array:
     r = jax.random.randint(
         key, (), jnp.int32(1), jnp.maximum(max_sample, jnp.int32(2))
     ).astype(jnp.int32)
+    return scatter_bits(r, mask, c)
 
-    def body(i, carry):
-        threshold, sample = carry
-        i = jnp.asarray(i, jnp.int32)
-        bit_set = (mask >> i) & 1
-        selected = sample & 1
-        placed = jnp.left_shift(selected, i).astype(jnp.int32)
-        threshold = (threshold | jnp.where(bit_set == 1, placed, 0)).astype(jnp.int32)
-        sample = jnp.where(bit_set == 1, sample >> 1, sample).astype(jnp.int32)
-        return threshold, sample
 
-    threshold, _ = jax.lax.fori_loop(0, _NUM_BITS, body, (jnp.int32(0), r))
+def scatter_bits(r: jax.Array, mask: jax.Array, c: jax.Array) -> jax.Array:
+    """Scatter the low ``popcount(mask)`` bits of ``r`` into the set bit
+    positions of ``mask`` (ascending), branch-free and fully parallel.
+
+    Bit ``i`` of the result takes bit ``rank(i)`` of ``r``, where ``rank(i)``
+    is the number of set mask bits below position ``i`` — the same mapping
+    the reference's sequential consume-one-bit loop produces
+    (src/bark/utils/bit_operations.py:44-56) without the 25-iteration
+    sequential chain in the sampler's hot path. Returns 0 when ``c < 2``
+    (degenerate-split indicator).
+    """
+    idx = jnp.arange(_NUM_BITS, dtype=jnp.int32)
+    below = jnp.left_shift(jnp.int32(1), idx) - 1
+    ranks = popcount(mask & below)  # (25,)
+    mask_bits = (mask >> idx) & 1
+    sel = (r >> ranks) & 1
+    threshold = jnp.sum(
+        jnp.where(mask_bits & sel, jnp.left_shift(jnp.int32(1), idx), 0)
+    )
     return jnp.where(c < 2, jnp.int32(0), threshold)

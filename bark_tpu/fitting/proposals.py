@@ -24,12 +24,15 @@ tree_proposals.py:58).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
-from bark_tpu.fitting.bits import sample_binary_mask
+from bark_tpu.fitting.bits import popcount, sample_binary_mask, scatter_bits
 from bark_tpu.fitting.params import SamplerParams
 from bark_tpu.fitting.traversal import (
+    child_subspaces,
     node_subspace,
     singly_internal_mask,
     terminal_mask,
@@ -39,10 +42,54 @@ from bark_tpu.forest import FEAT_CAT, FEAT_INT, Forest
 GROW, PRUNE, CHANGE = 0, 1, 2
 
 
+class ProposalNoise(NamedTuple):
+    """All randomness one tree proposal consumes, pre-drawn.
+
+    The sampler's scan is latency-bound on sequential op count; every
+    ``jax.random`` call inside the loop costs threefry rounds on the
+    critical path. Pre-drawing the noise for all m moves before the scan
+    (one vectorized batch) and feeding it through scan xs leaves only
+    cheap arithmetic (cdf compare, masked argmax, affine transforms) in
+    the loop. Distributions are identical to the keyed path; bitstreams
+    differ (RNG parity with the reference is statistical anyway,
+    SURVEY.md 7.1.8).
+    """
+
+    u_move: jax.Array  # uniform [0,1) — move-type cdf draw
+    g_node: jax.Array  # (node_limit,) gumbel — masked categorical via argmax
+    u_feat: jax.Array  # uniform — feature index
+    u_cat: jax.Array  # uniform — categorical subset rank
+    u_int: jax.Array  # uniform — integer threshold
+    u_cont: jax.Array  # uniform — continuous threshold
+    u_accept: jax.Array  # uniform — MH accept draw (consumed by the sampler)
+
+
+def make_proposal_noise(
+    key: jax.Array, num_moves: int, node_limit: int
+) -> ProposalNoise:
+    """Draw the full noise bundle for ``num_moves`` proposals (leading axis)."""
+    ks = jax.random.split(key, 7)
+    shape = (num_moves,)
+    return ProposalNoise(
+        u_move=jax.random.uniform(ks[0], shape),
+        g_node=jax.random.gumbel(ks[1], (num_moves, node_limit)),
+        u_feat=jax.random.uniform(ks[2], shape),
+        u_cat=jax.random.uniform(ks[3], shape),
+        u_int=jax.random.uniform(ks[4], shape),
+        u_cont=jax.random.uniform(ks[5], shape),
+        u_accept=jax.random.uniform(ks[6], shape),
+    )
+
+
 def masked_choice(key: jax.Array, mask: jax.Array) -> jax.Array:
     """Uniform draw from the True entries of mask (0 if mask is empty)."""
     logits = jnp.where(mask, 0.0, -jnp.inf)
     return jax.random.categorical(key, logits).astype(jnp.int32)
+
+
+def masked_choice_gumbel(gumbel: jax.Array, mask: jax.Array) -> jax.Array:
+    """Uniform draw from mask via pre-drawn gumbel noise (argmax trick)."""
+    return jnp.argmax(jnp.where(mask, gumbel, -jnp.inf)).astype(jnp.int32)
 
 
 def sample_splitting_rule(
@@ -77,6 +124,46 @@ def sample_splitting_rule(
         ftype == FEAT_CAT, cat_thr, jnp.where(ftype == FEAT_INT, int_thr, cont_thr)
     )
     return feat.astype(jnp.int32), thr
+
+
+def sample_splitting_rule_noise(
+    noise: ProposalNoise, subspace: jax.Array, feat_types: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`sample_splitting_rule` from pre-drawn uniforms — same
+    distributions, zero in-loop RNG."""
+    d = subspace.shape[0]
+    feat = jnp.minimum(
+        (noise.u_feat * d).astype(jnp.int32), jnp.int32(d - 1)
+    )
+    lb = subspace[feat, 0]
+    ub = subspace[feat, 1]
+
+    # categorical: uniform proper non-empty subset of the available mask
+    # (bit_operations.py:34-58 semantics: rank r uniform in [1, 2^c - 2])
+    ub_mask = ub.astype(jnp.int32)
+    c = popcount(ub_mask)
+    max_sample = jnp.left_shift(jnp.int32(1), c) - 1
+    span = jnp.maximum(max_sample - 1, 1)
+    r = jnp.int32(1) + jnp.minimum(
+        (noise.u_cat * span.astype(jnp.float32)).astype(jnp.int32), span - 1
+    )
+    cat_thr = scatter_bits(r, ub_mask, c).astype(subspace.dtype)
+
+    lb_i = lb.astype(jnp.int32)
+    ub_i = ub.astype(jnp.int32)
+    ispan = (ub_i - lb_i).astype(jnp.float32)
+    int_draw = lb_i + jnp.minimum(
+        (noise.u_int * ispan).astype(jnp.int32), jnp.maximum(ub_i - lb_i - 1, 0)
+    )
+    int_thr = jnp.where(lb_i == ub_i, ub_i, int_draw).astype(subspace.dtype)
+
+    cont_thr = lb + noise.u_cont * (ub - lb)
+
+    ftype = feat_types[feat]
+    thr = jnp.where(
+        ftype == FEAT_CAT, cat_thr, jnp.where(ftype == FEAT_INT, int_thr, cont_thr)
+    )
+    return feat, thr
 
 
 def _first_two_inactive(active: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -143,23 +230,39 @@ def propose_tree_packed(
     bounds: jax.Array,
     feat_types: jax.Array,
     params: SamplerParams,
+    subspace_tree: jax.Array | None = None,
+    noise: ProposalNoise | None = None,
 ):
     """One grow/prune/change proposal on a packed ``(node_limit, 8)`` tree.
 
     The hot-loop variant: decision logic reads unpacked field views (fused
     slices), structural edits are whole-row scatters on the packed array —
     a handful of ops per move instead of dozens (the sampler scan is
-    latency-bound on op count). Returns
-    ``(new_packed, log_q_prior, move, node_idx)``.
+    latency-bound on op count).
+
+    ``subspace_tree`` (``(node_limit, D, 2)``, optional) enables O(1)
+    incremental subspace maintenance: the target node's subspace is one
+    gather instead of a ``max_depth``-trip parent-chain walk (the walk costs
+    ~32 sequential scatters per move and dominated the step on TPU), and
+    the two affected child rows are recomputed top-down
+    (:func:`bark_tpu.fitting.traversal.child_subspaces` — bit-exact with
+    the walk). Returns ``(new_packed, new_subspace_tree, log_q_prior, move,
+    node_idx)`` when given, else ``(new_packed, log_q_prior, move,
+    node_idx)``.
     Parity: src/bark/fitting/tree_proposals.py:186-256.
     """
     from bark_tpu.forest import unpack_forest
 
     tree = unpack_forest(packed)
-    k_move, k_node, k_split, _ = jax.random.split(key, 4)
+    if noise is None:
+        k_noise, _ = jax.random.split(key)
+        noise = jax.tree.map(
+            lambda a: a[0], make_proposal_noise(k_noise, 1, packed.shape[0])
+        )
 
     weights = jnp.array(params.proposal_weights, dtype=jnp.float32)
-    move = jax.random.choice(k_move, 3, p=weights)
+    cdf = jnp.cumsum(weights) / jnp.sum(weights)
+    move = jnp.sum((noise.u_move >= cdf[:2]).astype(jnp.int32))
 
     term = terminal_mask(tree)
     si = singly_internal_mask(tree)
@@ -168,10 +271,13 @@ def propose_tree_packed(
 
     valid = jnp.where(is_grow, term, si)
     n_valid = jnp.sum(valid.astype(jnp.int32))
-    n = masked_choice(k_node, valid)
+    n = masked_choice_gumbel(noise.g_node, valid)
 
-    subspace = node_subspace(tree, n, bounds, feat_types, params.max_depth)
-    feat, thr = sample_splitting_rule(k_split, subspace, feat_types)
+    if subspace_tree is None:
+        subspace = node_subspace(tree, n, bounds, feat_types, params.max_depth)
+    else:
+        subspace = subspace_tree[n]
+    feat, thr = sample_splitting_rule_noise(noise, subspace, feat_types)
 
     ftype = feat_types[feat]
     invalid_split = ((ftype == FEAT_CAT) & (thr == 0)) | (
@@ -232,7 +338,19 @@ def propose_tree_packed(
     new_packed = jnp.where(reject, packed, proposed)
 
     log_q_prior = jnp.where(reject, -jnp.inf, log_q_ratio + log_prior_ratio)
-    return new_packed, log_q_prior, move, n
+    if subspace_tree is None:
+        return new_packed, log_q_prior, move, n
+
+    # --- incremental subspace rows for the (re)split children --------------
+    left_sub, right_sub = child_subspaces(subspace, feat, thr, feat_types)
+    # grow writes fresh slots i1/i2; change rewrites the existing children;
+    # prune deactivates children (their stale rows are never read).
+    ci1 = jnp.where(is_grow, i1, l)
+    ci2 = jnp.where(is_grow, i2, r)
+    touch = (~reject) & (~is_prune)
+    sub_updated = subspace_tree.at[ci1].set(left_sub).at[ci2].set(right_sub)
+    new_subspace_tree = jnp.where(touch, sub_updated, subspace_tree)
+    return new_packed, new_subspace_tree, log_q_prior, move, n
 
 
 def propose_tree(

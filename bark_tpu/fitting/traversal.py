@@ -89,3 +89,65 @@ def node_subspace(
         0, max_depth, body, (node_idx.astype(jnp.int32), lower, upper)
     )
     return jnp.stack([lower, upper], axis=1)
+
+
+def child_subspaces(
+    subspace: jax.Array,
+    feat: jax.Array,
+    thr: jax.Array,
+    feat_types: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Left/right child subspaces of a node with subspace ``(D, 2)`` split by
+    ``(feat, thr)`` — one application of the walk body of
+    :func:`node_subspace`, top-down.
+
+    Exactness note: the categorical complement is computed against
+    ``next_power_of_2(parent ub) - 1``; since the split mask is a subset of
+    the parent mask, ``(M - thr) & U == U & ~thr`` for any ``M ⊇ U``, so
+    top-down application agrees bit-for-bit with the bottom-up walk (and
+    min/max intersection is exactly associative for numerics). This is the
+    basis of the sampler's O(1) incremental subspace maintenance.
+    """
+    lower, upper = subspace[:, 0], subspace[:, 1]
+    thr = jnp.asarray(thr).astype(subspace.dtype)
+    f_is_cat = feat_types[feat] == FEAT_CAT
+    f_is_int = feat_types[feat] == FEAT_INT
+    ub_f = upper[feat]
+    lb_f = lower[feat]
+
+    thr_i = thr.astype(jnp.int32)
+    ub_i = ub_f.astype(jnp.int32)
+    max_thr = next_power_of_2(ub_i) - 1
+    cat_left_ub = (thr_i & ub_i).astype(upper.dtype)
+    cat_right_ub = ((max_thr - thr_i) & ub_i).astype(upper.dtype)
+
+    int_delta = jnp.where(f_is_int, 1.0, 0.0).astype(lower.dtype)
+    num_left_ub = jnp.minimum(thr, ub_f)
+    num_right_lb = jnp.maximum(thr + int_delta, lb_f)
+
+    left_ub = jnp.where(f_is_cat, cat_left_ub, num_left_ub)
+    right_ub = jnp.where(f_is_cat, cat_right_ub, ub_f)
+    right_lb = jnp.where(f_is_cat, lb_f, num_right_lb)
+
+    left = subspace.at[feat, 1].set(left_ub)
+    right = subspace.at[feat, 0].set(right_lb).at[feat, 1].set(right_ub)
+    return left, right
+
+
+def all_node_subspaces(
+    tree: Forest,
+    bounds: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int,
+) -> jax.Array:
+    """Subspaces of every node slot: ``(node_limit, D, 2)``.
+
+    One-time initialization for the sampler's incremental subspace carry
+    (rows of inactive slots are whatever the walk returns for them and are
+    never read — proposals only target active nodes, and grow overwrites
+    the rows of newly activated slots).
+    """
+    node_limit = tree.is_leaf.shape[-1]
+    return jax.vmap(
+        lambda n: node_subspace(tree, n, bounds, feat_types, max_depth)
+    )(jnp.arange(node_limit, dtype=jnp.int32))

@@ -85,6 +85,31 @@ def low_rank_det_update(
     return K_logdet + logabsdet
 
 
+def rank1_inv_logdet_update(
+    K_inv: jax.Array,
+    K_logdet: jax.Array,
+    w: jax.Array,
+    subtract: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Sherman-Morrison + determinant-lemma update for ``K ± w wᵀ``.
+
+    Returns ``(K_inv', K_logdet', denom)`` where ``denom = 1 ± wᵀK⁻¹w`` —
+    callers must treat ``denom <= 0`` (possible only through float32
+    round-off on the subtract side; mathematically K stays PD because the
+    updated kernel retains its positive diagonal) as a failed update and
+    reject the move. No sequential factorization anywhere: the per-move
+    critical path of the MCMC kernel collapses from a 64-step Cholesky to
+    one matvec + one outer product.
+    """
+    Kw = K_inv @ w
+    quad = w @ Kw
+    denom = 1.0 - quad if subtract else 1.0 + quad
+    sign = 1.0 if subtract else -1.0
+    K_inv_new = K_inv + sign * jnp.outer(Kw, Kw) / denom
+    K_logdet_new = K_logdet + jnp.log(denom)
+    return K_inv_new, K_logdet_new, denom
+
+
 def chol_inv_logdet(K: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Dense inverse and logdet of a PD matrix via Cholesky.
 

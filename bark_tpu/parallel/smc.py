@@ -119,7 +119,9 @@ def run_smc(
     scales = jnp.ones((num_particles,), jnp.float32)
 
     chains = jax.vmap(
-        lambda f, n, s: init_chain_state(f, n, s, X, y, feat_types, params, mask)
+        lambda f, n, s: init_chain_state(
+            f, n, s, X, y, feat_types, params, mask, bounds=bounds
+        )
     )(forests, noises, scales)
 
     def one_round(carry, k):

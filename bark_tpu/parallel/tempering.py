@@ -99,7 +99,9 @@ def run_parallel_tempering(
     Returns (cold samples over steps, beta trace (T, R), mean swap rate).
     """
     chains = jax.vmap(
-        lambda f, n, s: init_chain_state(f, n, s, X, y, feat_types, params, mask)
+        lambda f, n, s: init_chain_state(
+            f, n, s, X, y, feat_types, params, mask, bounds=bounds
+        )
     )(forest, noise, scale)
     betas = geometric_ladder(num_replicas, beta_min)
     state = PTState(chains=chains, betas=betas)

@@ -42,7 +42,7 @@ def make_problem(n=25, seed=0):
     return dom, jnp.asarray(X), jnp.asarray(y)
 
 
-@pytest.mark.parametrize("backend", ["chol", "woodbury"])
+@pytest.mark.parametrize("backend", ["chol", "woodbury", "rank1"])
 def test_maintained_state_consistent_with_rebuild(backend):
     dom, X, y = make_problem()
     params = SamplerParams(num_trees=8, num_chains=1, kernel_backend=backend)
@@ -51,7 +51,8 @@ def test_maintained_state_consistent_with_rebuild(backend):
 
     forest = create_empty_forest(params.num_trees, params.node_limit)
     state = init_chain_state(
-        forest, jnp.float32(0.1), jnp.float32(1.0), X, y, ft, params
+        forest, jnp.float32(0.1), jnp.float32(1.0), X, y, ft, params,
+        bounds=bounds,
     )
 
     key = jax.random.key(0)
@@ -87,7 +88,7 @@ def test_backends_agree_on_trajectory():
     ft = jnp.asarray(dom.feature_types())
 
     out = {}
-    for backend in ("chol", "woodbury"):
+    for backend in ("chol", "woodbury", "rank1"):
         params = SamplerParams(
             warmup_steps=3,
             num_samples=3,
@@ -108,6 +109,13 @@ def test_backends_agree_on_trajectory():
     )
     np.testing.assert_allclose(
         np.asarray(out["chol"].noise), np.asarray(out["woodbury"].noise), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["chol"].forest.threshold),
+        np.asarray(out["rank1"].forest.threshold),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["chol"].noise), np.asarray(out["rank1"].noise), rtol=1e-6
     )
 
 

@@ -36,7 +36,7 @@ def test_beta_one_matches_plain_step():
     bench, X, y, bounds, ft = problem()
     params = SamplerParams(num_trees=5)
     forest = create_empty_forest(5, params.node_limit)
-    state = init_chain_state(forest, jnp.float32(0.1), jnp.float32(1.0), X, y, ft, params)
+    state = init_chain_state(forest, jnp.float32(0.1), jnp.float32(1.0), X, y, ft, params, bounds=bounds)
     k = jax.random.key(0)
     s_plain = step(k, state, X, y, bounds, ft, params)
     s_beta = step(k, state, X, y, bounds, ft, params, beta=jnp.float32(1.0))
@@ -54,7 +54,7 @@ def test_cold_chain_accepts_less_than_hot():
     bench, X, y, bounds, ft = problem(n=25)
     params = SamplerParams(num_trees=8)
     forest = create_empty_forest(8, params.node_limit)
-    state = init_chain_state(forest, jnp.float32(0.1), jnp.float32(1.0), X, y, ft, params)
+    state = init_chain_state(forest, jnp.float32(0.1), jnp.float32(1.0), X, y, ft, params, bounds=bounds)
 
     def run_at(beta, seed):
         s = state

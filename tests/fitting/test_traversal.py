@@ -105,3 +105,52 @@ def test_subspace_integer_delta():
     right = np.asarray(node_subspace(tree, jnp.int32(2), bounds, ft, 16))
     np.testing.assert_allclose(left[0], [0.0, 4.0])
     np.testing.assert_allclose(right[0], [5.0, 10.0])
+
+
+def test_incremental_subspaces_match_walk():
+    """The sampler's O(1) incremental subspace maintenance
+    (child_subspaces applied on grow/change) must stay bit-exact with the
+    parent-chain walk across long sequences of structural edits, over
+    mixed cont/int/cat features."""
+    import jax
+
+    from bark_tpu.domain import (
+        CategoricalInput,
+        ContinuousInput,
+        Domain,
+        IntegerInput,
+    )
+    from bark_tpu.fitting.params import SamplerParams
+    from bark_tpu.fitting.proposals import propose_tree_packed
+    from bark_tpu.fitting.traversal import all_node_subspaces
+    from bark_tpu.forest import create_empty_forest, pack_forest, unpack_forest
+
+    dom = Domain(
+        [
+            ContinuousInput("x", (0.0, 1.0)),
+            IntegerInput("i", (0, 7)),
+            CategoricalInput("c", tuple("abcdef")),
+        ]
+    )
+    bounds = jnp.asarray(dom.bounds("bitmask"))
+    ft = jnp.asarray(dom.feature_types())
+    params = SamplerParams(num_trees=1)
+    tree = jax.tree.map(lambda a: a[0], create_empty_forest(1, params.node_limit))
+    packed = pack_forest(tree)
+    subs = all_node_subspaces(tree, bounds, ft, params.max_depth)
+
+    key = jax.random.key(0)
+    for i in range(120):
+        key, k = jax.random.split(key)
+        new_packed, new_subs, lqp, _, _ = propose_tree_packed(
+            k, packed, bounds, ft, params, subspace_tree=subs
+        )
+        if np.isfinite(float(lqp)):  # accept every valid proposal
+            packed, subs = new_packed, new_subs
+        if i % 20 == 19:
+            t = unpack_forest(packed)
+            ref = all_node_subspaces(t, bounds, ft, params.max_depth)
+            act = np.asarray(t.active)
+            np.testing.assert_array_equal(
+                np.asarray(ref)[act], np.asarray(subs)[act]
+            )
