@@ -181,6 +181,31 @@ class Domain:
                 cols.append(rng.uniform(f.bounds[0], f.bounds[1], size=n))
         return np.stack(cols, axis=1).astype(np.float32)
 
+    def sample_sobol(self, n: int, seed: int = 0) -> np.ndarray:
+        """Sobol quasi-random ordinal-encoded points: ``(n, D)`` float32.
+
+        Parity: the reference's BARTGrid/Random strategies fall back to
+        BoFire's SOBOL sampling method (strategies/bart_grid.py:27-33).
+        Discretes are mapped by stratified flooring so every category /
+        integer level receives equal measure.
+        """
+        from scipy.stats import qmc
+
+        u = qmc.Sobol(d=self.dim, scramble=True, seed=seed).random(n)
+        cols = []
+        for i, f in enumerate(self.inputs):
+            ui = u[:, i]
+            if isinstance(f, CategoricalInput):
+                k = len(f.categories)
+                cols.append(np.minimum(np.floor(ui * k), k - 1))
+            elif isinstance(f, IntegerInput):
+                lo, hi = f.bounds
+                cols.append(np.minimum(np.floor(lo + ui * (hi - lo + 1)), hi))
+            else:
+                lo, hi = f.bounds
+                cols.append(lo + ui * (hi - lo))
+        return np.stack(cols, axis=1).astype(np.float32)
+
     def round(self, X: np.ndarray) -> np.ndarray:
         """Project arbitrary points onto the domain (clip + round discretes)."""
         X = np.array(X, dtype=np.float32, copy=True)

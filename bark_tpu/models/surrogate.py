@@ -83,6 +83,25 @@ class _BARKSurrogateBase:
             mu, var = np.asarray(mu), np.asarray(var)
         return mu[..., None], np.sqrt(var[..., None])
 
+    def function_samples(
+        self, X, key: jax.Array | None = None, num_draws: int = 1
+    ) -> np.ndarray:
+        """Posterior-predictive function draws at ``X``: ``(S*num_draws, N)``.
+
+        One independent marginal Gaussian draw per posterior sample per
+        point, in original (un-standardized) y units, observation noise
+        included — the BARK analogue of the reference BART surrogate's
+        ``function_samples`` (surrogates/bart.py:54-66) consumed by the
+        grid-UCB strategy (strategies/bart_grid.py:46-56).
+        """
+        mu, std = self.predict(X, batched=True, predict_observed=True)
+        mu, std = mu[..., 0], std[..., 0]  # (S, N)
+        if key is None:
+            key = jax.random.key(0)
+        eps = jax.random.normal(key, (num_draws,) + mu.shape)
+        draws = mu[None] + std[None] * np.asarray(eps)
+        return draws.reshape(-1, mu.shape[-1])
+
     def _store_train_data(self, X, y):
         """Standardize y and pad (X, y) to a bucket size with a row mask.
 

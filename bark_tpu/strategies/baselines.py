@@ -142,9 +142,75 @@ def smac_strategy(domain: Domain, **kwargs):
     )
 
 
-def bart_grid_strategy(domain: Domain, **kwargs):
-    """Parity: strategies/bart_grid.py wraps pymc-bart (unavailable here)."""
-    raise RuntimeError(
-        "BARTGridStrategy requires pymc-bart, which is not in this "
-        "environment; use BARK or BARKPrior instead"
-    )
+class GridUCBStrategy:
+    """Sobol-grid reparameterized-UCB strategy (BARTGrid analogue).
+
+    Parity: strategies/bart_grid.py:41-58 — grid of ``min(2^(5D), 2^14)``
+    Sobol points, posterior-predictive function draws, Wilson et al. 2018
+    (Eq 7) reparameterized LCB for minimization
+    ``mean_s(-mu + kappa*sqrt(pi/2)*|y_s - mu|)``, argmax over the grid.
+    The reference runs this over a PyMC-BART surrogate (unavailable here);
+    any surrogate exposing ``function_samples`` works — default is the
+    fully-Bayesian BARK surrogate, whose sum-of-trees posterior is the
+    GP-kernelized counterpart of BART's.
+    """
+
+    def __init__(self, domain: Domain, surrogate=None, seed: int = 0,
+                 kappa: float = 1.96, max_grid: int = 2**14, params=None):
+        from bark_tpu.models.surrogate import BARKSurrogate
+
+        self.domain = domain
+        self.surrogate = surrogate or BARKSurrogate(domain, params, seed=seed)
+        self.kappa = kappa
+        self.max_grid = max_grid
+        self.seed = seed
+        self._ask_count = 0
+        self._rng = np.random.default_rng(seed)
+        self.X = None
+        self.y = None
+
+    def _refit(self):
+        self.surrogate.fit(self.X, self.y)
+
+    def tell(self, X, y) -> None:
+        self.X = self.domain.transform(X)
+        self.y = np.asarray(y, np.float64).reshape(-1)
+        self._refit()
+
+    def add(self, X_new, y_new) -> None:
+        X_new = self.domain.transform(X_new)
+        y_new = np.asarray(y_new, np.float64).reshape(-1)
+        if self.X is None:
+            self.X, self.y = X_new, y_new
+        else:
+            self.X = np.vstack([self.X, X_new])
+            self.y = np.concatenate([self.y, y_new])
+        self._refit()
+
+    def has_sufficient_experiments(self) -> bool:
+        return self.y is not None and len(self.y) > 1
+
+    def ask(self, candidate_count: int = 1) -> np.ndarray:
+        assert candidate_count == 1, "grid UCB proposes single candidates"
+        if not self.has_sufficient_experiments() or not self.surrogate.is_fitted:
+            return self.domain.sample(1, self._rng)
+        n = min(2 ** (5 * self.domain.dim), self.max_grid)
+        grid = self.domain.sample_sobol(n, seed=self.seed + self._ask_count)
+        self._ask_count += 1
+        draws = self.surrogate.function_samples(
+            grid, key=jax.random.key(self.seed + self._ask_count)
+        )  # (S, n)
+        mu = draws.mean(axis=0, keepdims=True)
+        reparam = -mu + self.kappa * np.sqrt(np.pi / 2) * np.abs(draws - mu)
+        lcb = reparam.mean(axis=0)
+        return grid[int(np.argmax(lcb))][None, :]
+
+    def predict(self, X):
+        return self.surrogate.predict(X)
+
+
+def bart_grid_strategy(domain: Domain, seed: int = 0, **kwargs):
+    """BARTGrid entry point: the reference wraps pymc-bart (unavailable
+    here); the native grid-UCB driver over the BARK posterior is the
+    drop-in equivalent (strategies/bart_grid.py:18-92)."""
+    return GridUCBStrategy(domain, seed=seed, **kwargs)

@@ -136,6 +136,18 @@ def make_strategy(name: str, domain: Domain, seed: int = 0, **kwargs):
         return TreeKernelStrategy(domain, surrogate=sur, seed=seed, **kwargs)
     if name == "Random":
         return RandomStrategy(domain, seed=seed)
+    if name in ("BARTGrid", "GridUCB"):
+        from bark_tpu.strategies.baselines import GridUCBStrategy
+
+        return GridUCBStrategy(domain, seed=seed, **kwargs)
+    if name in ("RelaxedSobo", "Sobo", "RelaxedGP"):
+        from bark_tpu.strategies.baselines import RelaxedGPStrategy
+
+        return RelaxedGPStrategy(domain, seed=seed, **kwargs)
+    if name == "SMAC":
+        from bark_tpu.strategies.baselines import smac_strategy
+
+        return smac_strategy(domain, **kwargs)
     raise KeyError(f"Unknown strategy: {name}")
 
 

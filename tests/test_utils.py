@@ -125,3 +125,25 @@ def test_plots_render(tmp_path):
     out = tmp_path / "plots.png"
     save_fig(fig, out)
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_tree_rendering(tmp_path):
+    """format_tree / plot_tree walk active nodes of a sampled forest
+    (working replacement for the reference's stale plot_trees.py)."""
+    import matplotlib.pyplot as plt
+
+    from bark_tpu.utils.plots import format_tree, plot_tree, save_fig
+
+    _, sur, _, _ = _fitted()
+    forest = jax.tree.map(lambda a: np.asarray(a)[0, -1], sur.model.forest)
+    n_active = np.asarray(forest.active).sum(axis=-1)
+    tree_idx = int(np.argmax(n_active))  # pick the bushiest tree
+    text = format_tree(forest, tree_idx, feature_names=None)
+    assert text.count("leaf[") == int(
+        (np.asarray(forest.active) & np.asarray(forest.is_leaf))[tree_idx].sum()
+    )
+    fig, ax = plt.subplots()
+    plot_tree(ax, forest, tree_idx)
+    out = tmp_path / "tree.png"
+    save_fig(fig, out)
+    assert out.exists() and out.stat().st_size > 1000
