@@ -78,7 +78,6 @@ from bark_tpu.ops.linalg import (
     chol_inv_logdet,
     kernel_matrix,
     masked_mll,
-    rank1_inv_logdet_update,
 )
 
 
@@ -218,6 +217,65 @@ def init_chain_state(
     )
 
 
+class _ProposalBatch(NamedTuple):
+    """All per-tree proposal quantities for one step, batched over the m
+    trees (leading axis m). Everything here is *independent of move order*:
+    within a step each tree is visited exactly once, so tree j's proposal,
+    incremental leaf assignment, and update vectors depend only on tree j's
+    own pre-step state — never on another tree's accepted move. Hoisting
+    them out of the sequential scan (one vmap over trees) removes the
+    proposal machinery from the latency-critical path entirely; the scan
+    keeps only the kernel/MLL updates and accept logic, and the accepted
+    per-tree state is merged with one bulk select after the scan."""
+
+    new_packed: jax.Array  # (m, node_limit, 8)
+    new_subs: jax.Array  # (m, node_limit, D, 2)
+    cur_leavesT: jax.Array  # (m, N)
+    new_leavesT: jax.Array  # (m, N)
+    log_q_prior: jax.Array  # (m,)
+    move: jax.Array  # (m,)
+    node: jax.Array  # (m,)
+    u_accept: jax.Array  # (m,)
+
+
+def _propose_all_trees(key, state, X, feat_types, bounds, params):
+    """vmap the full proposal pipeline over the m trees (see _ProposalBatch)."""
+    m = params.num_trees
+    noise_bundle = make_proposal_noise(key, m, params.node_limit)
+    packed0 = pack_forest(state.forest)
+    cur_leavesT = state.leaves.T
+
+    def one(tree_packed, sub_tree, cur_lj, nz):
+        new_packed, new_sub, log_q_prior, move, node = propose_tree_packed(
+            key, tree_packed, bounds, feat_types, params,
+            subspace_tree=sub_tree, noise=nz,
+        )
+        new_lj = _incremental_leaves(
+            tree_packed[node], new_packed[node], cur_lj, move, node, X,
+            feat_types,
+        )
+        return new_packed, new_sub, log_q_prior, move, node, new_lj
+
+    new_packed, new_subs, log_q_prior, move, node, new_leavesT = jax.vmap(one)(
+        packed0, state.subspaces, cur_leavesT, noise_bundle
+    )
+    batch = _ProposalBatch(
+        new_packed=new_packed, new_subs=new_subs, cur_leavesT=cur_leavesT,
+        new_leavesT=new_leavesT, log_q_prior=log_q_prior, move=move,
+        node=node, u_accept=noise_bundle.u_accept,
+    )
+    return packed0, batch
+
+
+def _merge_accepted(packed0, state, batch, accepts):
+    """Bulk-select the accepted per-tree state after the move scan."""
+    acc = accepts
+    packed = jnp.where(acc[:, None, None], batch.new_packed, packed0)
+    subs = jnp.where(acc[:, None, None, None], batch.new_subs, state.subspaces)
+    leavesT = jnp.where(acc[:, None], batch.new_leavesT, batch.cur_leavesT)
+    return unpack_forest(packed), subs, leavesT.T
+
+
 def _tree_moves_chol(
     key, state, X, y, mask, pad_count, bounds, feat_types, params, beta=1.0
 ):
@@ -226,57 +284,34 @@ def _tree_moves_chol(
     ``beta`` is an inverse temperature: the MH ratio uses beta * delta-MLL
     (likelihood tempering for parallel tempering / SMC; beta=1 recovers the
     reference sampler)."""
-    m = params.num_trees
-    noise_bundle = make_proposal_noise(key, m, params.node_limit)
-    s_over_m = state.scale / m
+    s_over_m = state.scale / params.num_trees
     y_flat = y.reshape(-1)
+    packed0, batch = _propose_all_trees(key, state, X, feat_types, bounds, params)
 
     def tree_move(carry, inputs):
-        packed, subs, leaves, K, cur_mll = carry
-        tree_idx, nz = inputs
-
-        tree_packed = packed[tree_idx]
-        new_packed, new_sub, log_q_prior, move, node = propose_tree_packed(
-            key, tree_packed, bounds, feat_types, params,
-            subspace_tree=subs[tree_idx], noise=nz,
-        )
-
-        cur_leaves_j = leaves[:, tree_idx]
-        new_leaves_j = _incremental_leaves(
-            tree_packed[node], new_packed[node], cur_leaves_j, move, node, X,
-            feat_types,
-        )
+        K, cur_mll = carry
+        cur_lj, new_lj, log_q_prior, u_accept = inputs
 
         delta = s_over_m * (
-            _leaf_agreement(new_leaves_j, mask) - _leaf_agreement(cur_leaves_j, mask)
+            _leaf_agreement(new_lj, mask) - _leaf_agreement(cur_lj, mask)
         )
         K_new = K + delta
         new_mll, _ = _chol_mll(K_new, y_flat, state.noise, pad_count)
 
         log_alpha = log_q_prior + beta * (new_mll - cur_mll)
-        accept = jnp.log(nz.u_accept) <= jnp.minimum(log_alpha, 0.0)
+        accept = jnp.log(u_accept) <= jnp.minimum(log_alpha, 0.0)
 
-        packed = packed.at[tree_idx].set(
-            jnp.where(accept, new_packed, tree_packed)
-        )
-        subs = subs.at[tree_idx].set(
-            jnp.where(accept, new_sub, subs[tree_idx])
-        )
-        leaves = leaves.at[:, tree_idx].set(
-            jnp.where(accept, new_leaves_j, cur_leaves_j)
-        )
         K = jnp.where(accept, K_new, K)
         cur_mll = jnp.where(accept, new_mll, cur_mll)
-        return (packed, subs, leaves, K, cur_mll), None
+        return (K, cur_mll), accept
 
-    carry = (
-        pack_forest(state.forest), state.subspaces, state.leaves,
-        state.kern.K, state.mll,
+    (K, cur_mll), accepts = jax.lax.scan(
+        tree_move,
+        (state.kern.K, state.mll),
+        (batch.cur_leavesT, batch.new_leavesT, batch.log_q_prior, batch.u_accept),
     )
-    (packed, subs, leaves, K, cur_mll), _ = jax.lax.scan(
-        tree_move, carry, (jnp.arange(m, dtype=jnp.int32), noise_bundle)
-    )
-    return unpack_forest(packed), subs, leaves, K, cur_mll
+    forest, subs, leaves = _merge_accepted(packed0, state, batch, accepts)
+    return forest, subs, leaves, K, cur_mll
 
 
 def _tree_moves_rank1(
@@ -304,80 +339,87 @@ def _tree_moves_rank1(
     refactorizes both MH branches), and a ``denom <= eps`` guard turns
     round-off-broken updates into rejections.
     """
-    m = params.num_trees
-    noise_bundle = make_proposal_noise(key, m, params.node_limit)
-    half_s_over_m = jnp.sqrt(state.scale / (2.0 * m))
+    half_s_over_m = jnp.sqrt(state.scale / (2.0 * params.num_trees))
     eps = jnp.float32(1e-6)
+    packed0, batch = _propose_all_trees(key, state, X, feat_types, bounds, params)
+
+    # rank-1 update vectors from leaf-membership indicators, built for all
+    # trees at once (vectorized over the m axis)
+    node = batch.node
+    rows_new = jnp.take_along_axis(
+        batch.new_packed, node[:, None, None], axis=1
+    )[:, 0]  # (m, 8)
+    rows_old = jnp.take_along_axis(packed0, node[:, None, None], axis=1)[:, 0]
+    a_l, a_r = rows_new[:, 3:4], rows_new[:, 4:5]  # (m, 1)
+    l_old, r_old = rows_old[:, 3:4], rows_old[:, 4:5]
+    is_grow = (batch.move == GROW)[:, None]
+    is_prune = (batch.move == PRUNE)[:, None]
+    ind = lambda lv, i: (lv == i).astype(jnp.float32)
+    w_add_all = jnp.where(
+        is_prune,
+        ind(batch.new_leavesT, node[:, None]),
+        ind(batch.new_leavesT, a_l) - ind(batch.new_leavesT, a_r),
+    )
+    w_sub_all = jnp.where(
+        is_grow,
+        ind(batch.cur_leavesT, node[:, None]),
+        ind(batch.cur_leavesT, l_old) - ind(batch.cur_leavesT, r_old),
+    )
+    w_add_all = half_s_over_m * mask[None, :] * w_add_all
+    w_sub_all = half_s_over_m * mask[None, :] * w_sub_all
+    # (m, N, 2) update-pair stack fed through scan xs
+    W_all = jnp.stack([w_add_all, w_sub_all], axis=-1)
+
+    y_flat = y.reshape(-1)
+    mll_corr = pad_count * jnp.log(JITTER + state.noise)
 
     def tree_move(carry, inputs):
-        packed, subs, leaves, K_inv, K_logdet, cur_mll = carry
-        tree_idx, nz = inputs
+        K_inv, K_logdet, v_y, quad, cur_mll = carry
+        W, log_q_prior, u_accept = inputs
 
-        tree_packed = packed[tree_idx]
-        new_packed, new_sub, log_q_prior, move, node = propose_tree_packed(
-            key, tree_packed, bounds, feat_types, params,
-            subspace_tree=subs[tree_idx], noise=nz,
-        )
+        # Fused rank-2 Woodbury for K' = K + w_add w_addT - w_sub w_subT:
+        # K'^-1 = K^-1 - V M^-1 V^T with V = K^-1 W,
+        # M = S^-1 + W^T K^-1 W, S = diag(1, -1) — one (N,N)@(N,2) matmul
+        # replaces two sequential Sherman-Morrison matvecs, and the
+        # quadratic form y^T K^-1 y is maintained incrementally in O(N)
+        # (v_y = K^-1 y), so no per-move MLL matvec remains. Equivalent to
+        # the two-step update: denom1 = 1 + A, denom2 = -det(M)/denom1.
+        V = K_inv @ W  # (N, 2)
+        G = W.T @ V  # (2, 2)
+        t = W.T @ v_y  # (2,)
+        A, B, C = G[0, 0], G[1, 1], G[0, 1]
+        denom1 = 1.0 + A
+        detM = denom1 * (B - 1.0) - C * C
+        denom2 = -detM / denom1
+        Minv = jnp.array([[B - 1.0, -C], [-C, denom1]], dtype=K_inv.dtype) / detM
+        P = V @ Minv  # (N, 2)
+        K_inv2 = K_inv - P @ V.T
+        K_logdet2 = K_logdet + jnp.log(-detM)
+        u = Minv @ t
+        v_y2 = v_y - V @ u
+        quad2 = quad - t @ u
 
-        cur_leaves_j = leaves[:, tree_idx]
-        new_leaves_j = _incremental_leaves(
-            tree_packed[node], new_packed[node], cur_leaves_j, move, node, X,
-            feat_types,
-        )
-
-        # rank-1 update vectors from leaf-membership indicators
-        a_l, a_r = new_packed[node, 3], new_packed[node, 4]
-        l_old, r_old = tree_packed[node, 3], tree_packed[node, 4]
-        is_grow = move == GROW
-        is_prune = move == PRUNE
-        ind = lambda lv, i: (lv == i).astype(jnp.float32)
-        w_add = jnp.where(
-            is_prune,
-            ind(new_leaves_j, node),
-            ind(new_leaves_j, a_l) - ind(new_leaves_j, a_r),
-        )
-        w_sub = jnp.where(
-            is_grow,
-            ind(cur_leaves_j, node),
-            ind(cur_leaves_j, l_old) - ind(cur_leaves_j, r_old),
-        )
-        w_add = half_s_over_m * mask * w_add
-        w_sub = half_s_over_m * mask * w_sub
-
-        K_inv1, K_logdet1, _ = rank1_inv_logdet_update(
-            K_inv, K_logdet, w_add, subtract=False
-        )
-        K_inv2, K_logdet2, denom2 = rank1_inv_logdet_update(
-            K_inv1, K_logdet1, w_sub, subtract=True
-        )
-
-        new_mll = masked_mll(K_inv2, K_logdet2, y, state.noise, pad_count)
+        new_mll = 0.5 * (-quad2 - K_logdet2 + mll_corr)
         new_mll = jnp.where(denom2 > eps, new_mll, -jnp.inf)
         log_alpha = log_q_prior + beta * (new_mll - cur_mll)
-        accept = jnp.log(nz.u_accept) <= jnp.minimum(log_alpha, 0.0)
+        accept = jnp.log(u_accept) <= jnp.minimum(log_alpha, 0.0)
 
-        packed = packed.at[tree_idx].set(
-            jnp.where(accept, new_packed, tree_packed)
-        )
-        subs = subs.at[tree_idx].set(
-            jnp.where(accept, new_sub, subs[tree_idx])
-        )
-        leaves = leaves.at[:, tree_idx].set(
-            jnp.where(accept, new_leaves_j, cur_leaves_j)
-        )
         K_inv = jnp.where(accept, K_inv2, K_inv)
         K_logdet = jnp.where(accept, K_logdet2, K_logdet)
+        v_y = jnp.where(accept, v_y2, v_y)
+        quad = jnp.where(accept, quad2, quad)
         cur_mll = jnp.where(accept, new_mll, cur_mll)
-        return (packed, subs, leaves, K_inv, K_logdet, cur_mll), None
+        return (K_inv, K_logdet, v_y, quad, cur_mll), accept
 
-    carry = (
-        pack_forest(state.forest), state.subspaces, state.leaves,
-        state.kern.K_inv, state.kern.K_logdet, state.mll,
+    v_y0 = state.kern.K_inv @ y_flat
+    quad0 = y_flat @ v_y0
+    (K_inv, K_logdet, _, _, cur_mll), accepts = jax.lax.scan(
+        tree_move,
+        (state.kern.K_inv, state.kern.K_logdet, v_y0, quad0, state.mll),
+        (W_all, batch.log_q_prior, batch.u_accept),
     )
-    (packed, subs, leaves, K_inv, K_logdet, cur_mll), _ = jax.lax.scan(
-        tree_move, carry, (jnp.arange(m, dtype=jnp.int32), noise_bundle)
-    )
-    return unpack_forest(packed), subs, leaves, K_inv, K_logdet, cur_mll
+    forest, subs, leaves = _merge_accepted(packed0, state, batch, accepts)
+    return forest, subs, leaves, K_inv, K_logdet, cur_mll
 
 
 def _tree_moves_woodbury(
@@ -386,10 +428,12 @@ def _tree_moves_woodbury(
     """The reference's incremental inverse maintenance
     (bark_sampler.py:233-264), with a single SPD Cholesky powering both the
     Woodbury inverse update and the determinant-lemma update per direction."""
-    m = params.num_trees
     num_cols = params.node_limit // 2
-    noise_bundle = make_proposal_noise(key, m, params.node_limit)
-    s_sqrtm = jnp.sqrt(state.scale / m)
+    s_sqrtm = jnp.sqrt(state.scale / params.num_trees)
+    packed0, batch = _propose_all_trees(key, state, X, feat_types, bounds, params)
+    # active-leaf masks from the packed records (is_leaf & active bits)
+    leaf_mask_cur_all = (packed0[:, :, 0] & packed0[:, :, 7]) == 1
+    leaf_mask_new_all = (batch.new_packed[:, :, 0] & batch.new_packed[:, :, 7]) == 1
 
     def compact_onehot(leaves_j, leaf_mask):
         ranks = jnp.cumsum(leaf_mask.astype(jnp.int32)) - 1
@@ -412,58 +456,34 @@ def _tree_moves_woodbury(
         return K_inv_new, K_logdet + logdet_M
 
     def tree_move(carry, inputs):
-        packed, subs, leaves, K_inv, K_logdet, cur_mll = carry
-        tree_idx, nz = inputs
-
-        tree_packed = packed[tree_idx]
-        new_packed, new_sub, log_q_prior, move, node = propose_tree_packed(
-            key, tree_packed, bounds, feat_types, params,
-            subspace_tree=subs[tree_idx], noise=nz,
-        )
-
-        cur_leaves_j = leaves[:, tree_idx]
-        new_leaves_j = _incremental_leaves(
-            tree_packed[node], new_packed[node], cur_leaves_j, move, node, X,
-            feat_types,
-        )
-
-        # active-leaf masks from the packed records (is_leaf & active bits)
-        leaf_mask_cur = (tree_packed[:, 0] & tree_packed[:, 7]) == 1
-        leaf_mask_new = (new_packed[:, 0] & new_packed[:, 7]) == 1
+        K_inv, K_logdet, cur_mll = carry
+        (cur_lj, new_lj, leaf_mask_cur, leaf_mask_new, log_q_prior,
+         u_accept) = inputs
 
         row_mask = mask[:, None]
-        U_cur = s_sqrtm * row_mask * compact_onehot(cur_leaves_j, leaf_mask_cur)
-        U_new = s_sqrtm * row_mask * compact_onehot(new_leaves_j, leaf_mask_new)
+        U_cur = s_sqrtm * row_mask * compact_onehot(cur_lj, leaf_mask_cur)
+        U_new = s_sqrtm * row_mask * compact_onehot(new_lj, leaf_mask_new)
 
         K_inv1, K_logdet1 = low_rank_update(K_inv, K_logdet, U_cur, subtract=True)
         K_inv2, K_logdet2 = low_rank_update(K_inv1, K_logdet1, U_new, subtract=False)
 
         new_mll = masked_mll(K_inv2, K_logdet2, y, state.noise, pad_count)
         log_alpha = log_q_prior + beta * (new_mll - cur_mll)
-        accept = jnp.log(nz.u_accept) <= jnp.minimum(log_alpha, 0.0)
+        accept = jnp.log(u_accept) <= jnp.minimum(log_alpha, 0.0)
 
-        packed = packed.at[tree_idx].set(
-            jnp.where(accept, new_packed, tree_packed)
-        )
-        subs = subs.at[tree_idx].set(
-            jnp.where(accept, new_sub, subs[tree_idx])
-        )
-        leaves = leaves.at[:, tree_idx].set(
-            jnp.where(accept, new_leaves_j, cur_leaves_j)
-        )
         K_inv = jnp.where(accept, K_inv2, K_inv)
         K_logdet = jnp.where(accept, K_logdet2, K_logdet)
         cur_mll = jnp.where(accept, new_mll, cur_mll)
-        return (packed, subs, leaves, K_inv, K_logdet, cur_mll), None
+        return (K_inv, K_logdet, cur_mll), accept
 
-    carry = (
-        pack_forest(state.forest), state.subspaces, state.leaves,
-        state.kern.K_inv, state.kern.K_logdet, state.mll,
+    (K_inv, K_logdet, cur_mll), accepts = jax.lax.scan(
+        tree_move,
+        (state.kern.K_inv, state.kern.K_logdet, state.mll),
+        (batch.cur_leavesT, batch.new_leavesT, leaf_mask_cur_all,
+         leaf_mask_new_all, batch.log_q_prior, batch.u_accept),
     )
-    (packed, subs, leaves, K_inv, K_logdet, cur_mll), _ = jax.lax.scan(
-        tree_move, carry, (jnp.arange(m, dtype=jnp.int32), noise_bundle)
-    )
-    return unpack_forest(packed), subs, leaves, K_inv, K_logdet, cur_mll
+    forest, subs, leaves = _merge_accepted(packed0, state, batch, accepts)
+    return forest, subs, leaves, K_inv, K_logdet, cur_mll
 
 
 def step(
