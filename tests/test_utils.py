@@ -127,6 +127,26 @@ def test_plots_render(tmp_path):
     assert out.exists() and out.stat().st_size > 1000
 
 
+def test_profiling_hooks(tmp_path):
+    """Device trace capture + annotations + throughput meter (SURVEY §5
+    tracing/profiling replacement)."""
+    from bark_tpu.utils.profiling import ThroughputMeter, annotate, trace
+
+    x = jnp.arange(1024.0)
+    with trace(str(tmp_path / "trace")):
+        with annotate("square"):
+            y = jax.jit(lambda a: a * a)(x)
+        jax.block_until_ready(y)
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert any(p.is_file() for p in produced)
+
+    meter = ThroughputMeter()
+    meter.start()
+    out = jax.jit(lambda a: a + 1)(x)
+    rate = meter.stop(1024, out)
+    assert rate > 0 and meter.rate > 0
+
+
 def test_tree_rendering(tmp_path):
     """format_tree / plot_tree walk active nodes of a sampled forest
     (working replacement for the reference's stale plot_trees.py)."""
