@@ -59,6 +59,16 @@ class SamplerParams:
     # All three produce identical trajectories under identical keys (tested).
     kernel_backend: str = "rank1"
 
+    # node-subspace evaluation strategy for proposals (bit-exact pair):
+    #   "walk" (default) — recompute the chosen node's subspace by the
+    #     fixed-depth parent-chain walk inside the *hoisted, parallel*
+    #     proposal batch. No (m, node_limit, D, 2) carry at all.
+    #   "carry" — maintain per-node subspaces incrementally across moves
+    #     (O(1) child-row updates). Wins when the walk sat on the
+    #     sequential move scan; after the proposal hoist the carry's
+    #     scan/merge HBM traffic costs more than the parallel walk.
+    subspace_mode: str = "walk"
+
     @property
     def proposal_weights(self) -> tuple[float, float, float]:
         """Normalized (grow, prune, change) probabilities.

@@ -98,7 +98,11 @@ class ChainState(NamedTuple):
     scale: jax.Array  # f32 scalar
     kern: KernState
     mll: jax.Array  # f32 scalar
-    subspaces: jax.Array  # (m, node_limit, D, 2) — per-node subspace carry
+    # per-node subspace carry: (m, node_limit, D, 2) when
+    # params.subspace_mode == "carry", zero-size placeholder under the
+    # default "walk" mode (proposals re-derive the chosen node's subspace
+    # by the fixed-depth parent-chain walk inside the parallel batch)
+    subspaces: jax.Array
 
 
 class BARKModel(NamedTuple):
@@ -201,9 +205,12 @@ def init_chain_state(
     leaves = route_forest(forest, X, feat_types, params.max_depth)
     gram = gram_from_leaves(leaves, leaves, params.node_limit, mask, mask)
     K = kernel_matrix(gram, noise, scale)
-    subspaces = jax.vmap(
-        lambda t: all_node_subspaces(t, bounds, feat_types, params.max_depth)
-    )(forest)
+    if params.subspace_mode == "carry":
+        subspaces = jax.vmap(
+            lambda t: all_node_subspaces(t, bounds, feat_types, params.max_depth)
+        )(forest)
+    else:  # "walk": no subspace carry — proposals re-walk the parent chain
+        subspaces = jnp.zeros((0,), jnp.float32)
     if params.kernel_backend == "chol":
         mll_val, _ = _chol_mll(K, y.reshape(-1), noise, pad_count)
         kern = KernState(K=K, K_inv=_empty(), K_logdet=_empty())
@@ -244,20 +251,33 @@ def _propose_all_trees(key, state, X, feat_types, bounds, params):
     noise_bundle = make_proposal_noise(key, m, params.node_limit)
     packed0 = pack_forest(state.forest)
     cur_leavesT = state.leaves.T
+    carry_subs = params.subspace_mode == "carry"
 
     def one(tree_packed, sub_tree, cur_lj, nz):
-        new_packed, new_sub, log_q_prior, move, node = propose_tree_packed(
-            key, tree_packed, bounds, feat_types, params,
-            subspace_tree=sub_tree, noise=nz,
-        )
+        if carry_subs:
+            new_packed, new_sub, log_q_prior, move, node = propose_tree_packed(
+                key, tree_packed, bounds, feat_types, params,
+                subspace_tree=sub_tree, noise=nz,
+            )
+        else:
+            # "walk": re-derive the chosen node's subspace by the parent
+            # chain — parallel work here in the hoisted batch, so the
+            # sampler carries no (m, node_limit, D, 2) state at all
+            new_packed, log_q_prior, move, node = propose_tree_packed(
+                key, tree_packed, bounds, feat_types, params, noise=nz,
+            )
+            new_sub = jnp.zeros((0,), jnp.float32)
         new_lj = _incremental_leaves(
             tree_packed[node], new_packed[node], cur_lj, move, node, X,
             feat_types,
         )
         return new_packed, new_sub, log_q_prior, move, node, new_lj
 
+    subs_in = state.subspaces if carry_subs else jnp.zeros(
+        (m, 0), jnp.float32
+    )
     new_packed, new_subs, log_q_prior, move, node, new_leavesT = jax.vmap(one)(
-        packed0, state.subspaces, cur_leavesT, noise_bundle
+        packed0, subs_in, cur_leavesT, noise_bundle
     )
     batch = _ProposalBatch(
         new_packed=new_packed, new_subs=new_subs, cur_leavesT=cur_leavesT,
@@ -271,7 +291,12 @@ def _merge_accepted(packed0, state, batch, accepts):
     """Bulk-select the accepted per-tree state after the move scan."""
     acc = accepts
     packed = jnp.where(acc[:, None, None], batch.new_packed, packed0)
-    subs = jnp.where(acc[:, None, None, None], batch.new_subs, state.subspaces)
+    if state.subspaces.ndim == 4:  # "carry" mode
+        subs = jnp.where(
+            acc[:, None, None, None], batch.new_subs, state.subspaces
+        )
+    else:  # "walk" mode: nothing carried
+        subs = state.subspaces
     leavesT = jnp.where(acc[:, None], batch.new_leavesT, batch.cur_leavesT)
     return unpack_forest(packed), subs, leavesT.T
 
