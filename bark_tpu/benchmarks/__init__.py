@@ -3,14 +3,16 @@
 Parity: src/bofire_mixed/benchmarks/__init__.py:23-59 — the same registry
 names resolve through ``map_benchmark``. Benchmarks whose reference data
 blobs are absent from the checkout (SVRBench, CCOBench — see the reference's
-.MISSING_LARGE_BLOBS) and the UCI dataset fetcher (network-gated) are
-stubbed with informative errors rather than silently dropped.
+.MISSING_LARGE_BLOBS) are stubbed with informative errors rather than
+silently dropped; DatasetBenchmark is live with a pluggable data source
+(DataFrame/CSV, or the ucimlrepo fetcher when importable).
 """
 
 from bark_tpu.benchmarks.base import BENCHMARK_MAP, Benchmark, map_benchmark
 
 # importing registers each benchmark
 from bark_tpu.benchmarks import constrained as _constrained  # noqa: F401
+from bark_tpu.benchmarks import dataset as _dataset  # noqa: F401
 from bark_tpu.benchmarks import hartmann as _hartmann  # noqa: F401
 from bark_tpu.benchmarks import hpo as _hpo  # noqa: F401
 from bark_tpu.benchmarks import max_bandit as _max_bandit  # noqa: F401
@@ -43,9 +45,4 @@ _unavailable(
     "cellular-coverage powermap blobs are absent from the reference checkout "
     "(.MISSING_LARGE_BLOBS)",
 )
-_unavailable(
-    "DatasetBenchmark",
-    "requires the ucimlrepo network fetcher, unavailable in this environment",
-)
-
 __all__ = ["BENCHMARK_MAP", "Benchmark", "map_benchmark"]

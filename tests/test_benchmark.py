@@ -11,12 +11,13 @@ import pytest
 from bark_tpu.benchmarks import BENCHMARK_MAP, map_benchmark
 from bark_tpu.constraints import total_violation
 
-UNAVAILABLE = {"SVRBench", "CCOBench", "DatasetBenchmark"}
+UNAVAILABLE = {"SVRBench", "CCOBench"}
+NEEDS_DATA = {"DatasetBenchmark"}
 SLOW = {"XGBoostMNIST"}  # trains a real model per evaluation
 
 
 @pytest.mark.parametrize(
-    "name", sorted(set(BENCHMARK_MAP) - UNAVAILABLE - SLOW)
+    "name", sorted(set(BENCHMARK_MAP) - UNAVAILABLE - NEEDS_DATA - SLOW)
 )
 def test_benchmark_constructs_and_evaluates(name):
     bench = map_benchmark(name)
@@ -28,7 +29,7 @@ def test_benchmark_constructs_and_evaluates(name):
 
 
 @pytest.mark.parametrize(
-    "name", sorted(set(BENCHMARK_MAP) - UNAVAILABLE - SLOW)
+    "name", sorted(set(BENCHMARK_MAP) - UNAVAILABLE - NEEDS_DATA - SLOW)
 )
 def test_benchmark_optima_consistent(name):
     bench = map_benchmark(name)
@@ -56,6 +57,39 @@ def test_unavailable_benchmarks_raise_informatively():
     for name in UNAVAILABLE:
         with pytest.raises(RuntimeError, match="unavailable"):
             map_benchmark(name)
+
+
+def test_dataset_benchmark_roundtrip():
+    # reference parity: sequential sampling + row-lookup f
+    # (src/bofire_mixed/benchmarks/dataset.py:131-157)
+    pd = pytest.importorskip("pandas")
+    from bark_tpu.benchmarks.dataset import dataset_domain
+
+    rng = np.random.default_rng(0)
+    dom = dataset_domain("Abalone")
+    n = 32
+    raw = {}
+    for f in dom.inputs:
+        if hasattr(f, "categories"):
+            raw[f.key] = rng.choice(f.categories, size=n)
+        else:
+            lo, hi = f.bounds
+            raw[f.key] = rng.uniform(lo, hi, size=n)
+    raw[dom.output_keys[0]] = rng.normal(size=n)
+    bench = map_benchmark("DatasetBenchmark", dataset_name="Abalone",
+                          data=pd.DataFrame(raw))
+
+    X1 = bench.sample(8, seed=3)
+    X2 = bench.sample(8, seed=3)
+    assert X1.shape == (8, dom.dim)
+    # sequential without replacement: disjoint rows from the same permutation
+    assert not any(np.all(np.isclose(X1, r), axis=1).any() for r in X2)
+    y = bench.f(X1)
+    assert y.shape == (8,) and np.isfinite(y).all()
+    # standardized target
+    assert abs(bench.y_data.mean()) < 1e-9 and abs(bench.y_data.std() - 1) < 1e-9
+    with pytest.raises(KeyError):
+        bench.f(np.full((1, dom.dim), -123.0, np.float32))
 
 
 def test_max_bandit_candidates():
