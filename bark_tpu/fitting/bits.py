@@ -30,9 +30,9 @@ def next_power_of_2(x: jax.Array) -> jax.Array:
 
     Parity: src/bark/utils/bit_operations.py:5-10 (``while x >= p: p <<= 1``).
     """
-    x = x.astype(jnp.int32)
+    x = jnp.asarray(x, jnp.int32)
     powers = jnp.left_shift(jnp.int32(1), jnp.arange(_NUM_BITS, dtype=jnp.int32))
-    exponent = jnp.sum((powers <= x).astype(jnp.int32))
+    exponent = jnp.sum((powers <= x[..., None]).astype(jnp.int32), axis=-1)
     return jnp.left_shift(jnp.int32(1), exponent)
 
 

@@ -69,6 +69,37 @@ class SamplerParams:
     #     scan/merge HBM traffic costs more than the parallel walk.
     subspace_mode: str = "walk"
 
+    # lowering style for the hot proposal batch (trajectory-identical; all
+    # numbers = full-bench steps/s/chip on TPU v5e, 64 chains, N=50, m=50):
+    #   "walk_select" (default, 5510) — the subspace walk's per-trip bound
+    #     update is a (D,) one-hot select and its reads are whole packed
+    #     rows; no scatter in the walk. TPU lowers the walk's small-shape
+    #     dynamic scatters as real scatter ops with ~0.2 ms fixed cost
+    #     each — removing them was worth +34%.
+    #   "scatter" (4110) — dynamic-slice reads + scatter edits everywhere
+    #     (the natural XLA lowering; kept as the reference point).
+    #   "select" (5400) — additionally converts per-feature reads and the
+    #     structural tree edits to one-hot selects; measured slightly WORSE
+    #     than walk_select (the extra (node_limit, 8) select traffic costs
+    #     more than the row scatters it replaces).
+    #   "doubling" (3480) — walk replaced by pointer doubling +
+    #     order-independent parallel bound reduction (log2(max_depth)
+    #     sequential steps); loses badly — the doubling's batched gathers
+    #     lower worse than 16 cheap select trips.
+    hot_style: str = "walk_select"
+
+    # rank1 backend: factorize the once-per-step refresh's two MH branches
+    # as one batched (2, N, N) Cholesky instead of two sequential ones.
+    # Measured neutral (5516 vs 5510) — the refresh is off the critical
+    # path; default off to keep the program simpler.
+    fused_refresh: bool = False
+
+    # rank1 move-scan carry: "plain" keeps (K_inv, v_y) separate; "aug"
+    # carries the augmented [K_inv | v_y] so one fused (N,2)@(2,N+1)
+    # matmul updates both. Measured slightly worse (5417 vs 5513) — XLA
+    # already overlaps the v_y matvec; the concat adds real work.
+    scan_style: str = "plain"
+
     @property
     def proposal_weights(self) -> tuple[float, float, float]:
         """Normalized (grow, prune, change) probabilities.

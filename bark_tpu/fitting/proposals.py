@@ -34,6 +34,8 @@ from bark_tpu.fitting.params import SamplerParams
 from bark_tpu.fitting.traversal import (
     child_subspaces,
     node_subspace,
+    node_subspace_doubling,
+    node_subspace_packed,
     singly_internal_mask,
     terminal_mask,
 )
@@ -137,7 +139,16 @@ def sample_splitting_rule_noise(
     )
     lb = subspace[feat, 0]
     ub = subspace[feat, 1]
+    ftype = feat_types[feat]
+    thr = _sample_split_from_bounds(noise, lb, ub, ftype, subspace.dtype)
+    return feat, thr
 
+
+def _sample_split_from_bounds(
+    noise: ProposalNoise, lb: jax.Array, ub: jax.Array, ftype: jax.Array, dtype
+) -> jax.Array:
+    """Threshold draw given the chosen feature's (lb, ub, type) scalars —
+    the bounds-read-free core of :func:`sample_splitting_rule_noise`."""
     # categorical: uniform proper non-empty subset of the available mask
     # (bit_operations.py:34-58 semantics: rank r uniform in [1, 2^c - 2])
     ub_mask = ub.astype(jnp.int32)
@@ -147,7 +158,7 @@ def sample_splitting_rule_noise(
     r = jnp.int32(1) + jnp.minimum(
         (noise.u_cat * span.astype(jnp.float32)).astype(jnp.int32), span - 1
     )
-    cat_thr = scatter_bits(r, ub_mask, c).astype(subspace.dtype)
+    cat_thr = scatter_bits(r, ub_mask, c).astype(dtype)
 
     lb_i = lb.astype(jnp.int32)
     ub_i = ub.astype(jnp.int32)
@@ -155,15 +166,13 @@ def sample_splitting_rule_noise(
     int_draw = lb_i + jnp.minimum(
         (noise.u_int * ispan).astype(jnp.int32), jnp.maximum(ub_i - lb_i - 1, 0)
     )
-    int_thr = jnp.where(lb_i == ub_i, ub_i, int_draw).astype(subspace.dtype)
+    int_thr = jnp.where(lb_i == ub_i, ub_i, int_draw).astype(dtype)
 
     cont_thr = lb + noise.u_cont * (ub - lb)
 
-    ftype = feat_types[feat]
-    thr = jnp.where(
+    return jnp.where(
         ftype == FEAT_CAT, cat_thr, jnp.where(ftype == FEAT_INT, int_thr, cont_thr)
     )
-    return feat, thr
 
 
 def _first_two_inactive(active: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -175,6 +184,18 @@ def _first_two_inactive(active: jax.Array) -> tuple[jax.Array, jax.Array, jax.Ar
     i1 = jnp.argmax(inactive).astype(jnp.int32)
     inactive2 = inactive.at[i1].set(False)
     i2 = jnp.argmax(inactive2).astype(jnp.int32)
+    has_two = jnp.sum(inactive.astype(jnp.int32)) >= 2
+    return i1, i2, has_two
+
+
+def _first_two_inactive_select(
+    active: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Scatter-free :func:`_first_two_inactive` (the "select" hot style)."""
+    inactive = ~active
+    iota = jnp.arange(active.shape[0], dtype=jnp.int32)
+    i1 = jnp.argmax(inactive).astype(jnp.int32)
+    i2 = jnp.argmax(inactive & (iota != i1)).astype(jnp.int32)
     has_two = jnp.sum(inactive.astype(jnp.int32)) >= 2
     return i1, i2, has_two
 
@@ -269,23 +290,59 @@ def propose_tree_packed(
     is_grow = move == GROW
     is_prune = move == PRUNE
 
+    # "select" hot style: gather/scatter-free reads and edits (one-hot
+    # selects); "scatter" keeps dynamic slices + scatters. "walk_select"
+    # switches only the subspace walk. Trajectory-identical — only the
+    # lowering differs.
+    select_walk = params.hot_style in ("walk_select", "select")
+    select_edit = params.hot_style == "select"
+    doubling_walk = params.hot_style == "doubling"
+
     valid = jnp.where(is_grow, term, si)
     n_valid = jnp.sum(valid.astype(jnp.int32))
     n = masked_choice_gumbel(noise.g_node, valid)
 
     if subspace_tree is None:
-        subspace = node_subspace(tree, n, bounds, feat_types, params.max_depth)
+        if doubling_walk:
+            subspace = node_subspace_doubling(
+                packed, n, bounds, feat_types, params.max_depth
+            )
+        elif select_walk:
+            subspace = node_subspace_packed(
+                packed, n, bounds, feat_types, params.max_depth
+            )
+        else:
+            subspace = node_subspace(
+                tree, n, bounds, feat_types, params.max_depth
+            )
     else:
         subspace = subspace_tree[n]
-    feat, thr = sample_splitting_rule_noise(noise, subspace, feat_types)
 
-    ftype = feat_types[feat]
+    d = bounds.shape[0]
+    feat = jnp.minimum((noise.u_feat * d).astype(jnp.int32), jnp.int32(d - 1))
+    if select_edit:
+        onehot_d = jnp.arange(d, dtype=jnp.int32) == feat
+        lb = jnp.sum(jnp.where(onehot_d, subspace[:, 0], 0.0))
+        ub = jnp.sum(jnp.where(onehot_d, subspace[:, 1], 0.0))
+        ftype = jnp.sum(jnp.where(onehot_d, feat_types, 0))
+    else:
+        lb, ub, ftype = subspace[feat, 0], subspace[feat, 1], feat_types[feat]
+    thr = _sample_split_from_bounds(noise, lb, ub, ftype, subspace.dtype)
+
     invalid_split = ((ftype == FEAT_CAT) & (thr == 0)) | (
-        (ftype == FEAT_INT) & (thr == subspace[feat, 1])
+        (ftype == FEAT_INT) & (thr == ub)
     )
 
-    i1, i2, has_two = _first_two_inactive(tree.active)
-    depth_ok = tree.depth[n] + 1 <= params.max_depth
+    if select_edit:
+        row_n = packed[n]
+        parent_n, depth_n = row_n[5], row_n[6]
+        l, r = row_n[3], row_n[4]
+        i1, i2, has_two = _first_two_inactive_select(tree.active)
+    else:
+        parent_n, depth_n = tree.parent[n], tree.depth[n]
+        l, r = tree.left[n], tree.right[n]
+        i1, i2, has_two = _first_two_inactive(tree.active)
+    depth_ok = depth_n + 1 <= params.max_depth
 
     reject = (
         (n_valid == 0)
@@ -296,7 +353,12 @@ def propose_tree_packed(
     # --- transition ratio (tree_proposals.py:100-117) ---------------------
     w0 = jnp.sum(term.astype(jnp.float32))
     w1 = jnp.sum(si.astype(jnp.float32))
-    parent_was_si = (n != 0) & si[tree.parent[n]]
+    if select_edit:
+        iota_nodes = jnp.arange(packed.shape[0], dtype=jnp.int32)
+        parent_si = jnp.any((iota_nodes == parent_n) & si)
+    else:
+        parent_si = si[parent_n]
+    parent_was_si = (n != 0) & parent_si
     w1_star = w1 + 1.0 - parent_was_si.astype(jnp.float32)
     grow_q = jnp.log(w0) - jnp.log(w1_star)
     prune_q = jnp.log(w1) - jnp.log(jnp.maximum(w0 - 1.0, 1.0))
@@ -304,7 +366,7 @@ def propose_tree_packed(
 
     # --- depth-prior ratio (tree_proposals.py:120-143) --------------------
     alpha, beta = params.alpha, params.beta
-    d_f = tree.depth[n].astype(jnp.float32)
+    d_f = depth_n.astype(jnp.float32)
     pr = (
         jnp.log(alpha)
         + 2.0 * jnp.log(1.0 - alpha / (2.0 + d_f) ** beta)
@@ -318,19 +380,27 @@ def propose_tree_packed(
     )
     zero = jnp.int32(0)
     one = jnp.int32(1)
-    d1 = tree.depth[n] + 1
+    d1 = depth_n + 1
     child_row = jnp.stack([one, zero, zero, zero, zero, n, d1, one])
     parent_row = jnp.stack(
-        [zero, feat, thr_bits, i1, i2, tree.parent[n], tree.depth[n], one]
+        [zero, feat, thr_bits, i1, i2, parent_n, depth_n, one]
     )
-    grown = packed.at[i1].set(child_row).at[i2].set(child_row).at[n].set(
-        parent_row
-    )
-
-    l, r = tree.left[n], tree.right[n]
-    pruned = packed.at[l, 7].set(0).at[r, 7].set(0).at[n, 0].set(1)
-
-    changed = packed.at[n, 1].set(feat).at[n, 2].set(thr_bits)
+    if select_edit:
+        iota = jnp.arange(packed.shape[0], dtype=jnp.int32)[:, None]
+        col = jnp.arange(8, dtype=jnp.int32)[None, :]
+        is_n = iota == n
+        grown = jnp.where((iota == i1) | (iota == i2), child_row[None, :], packed)
+        grown = jnp.where(is_n, parent_row[None, :], grown)
+        pruned = jnp.where(((iota == l) | (iota == r)) & (col == 7), 0, packed)
+        pruned = jnp.where(is_n & (col == 0), 1, pruned)
+        changed = jnp.where(is_n & (col == 1), feat, packed)
+        changed = jnp.where(is_n & (col == 2), thr_bits, changed)
+    else:
+        grown = packed.at[i1].set(child_row).at[i2].set(child_row).at[n].set(
+            parent_row
+        )
+        pruned = packed.at[l, 7].set(0).at[r, 7].set(0).at[n, 0].set(1)
+        changed = packed.at[n, 1].set(feat).at[n, 2].set(thr_bits)
 
     proposed = jnp.where(
         is_grow, grown, jnp.where(is_prune, pruned, changed)

@@ -315,7 +315,7 @@ def _tree_moves_chol(
 
     def tree_move(carry, inputs):
         K, cur_mll = carry
-        cur_lj, new_lj, log_q_prior, u_accept = inputs
+        cur_lj, new_lj, log_q_prior, log_u = inputs
 
         delta = s_over_m * (
             _leaf_agreement(new_lj, mask) - _leaf_agreement(cur_lj, mask)
@@ -324,7 +324,7 @@ def _tree_moves_chol(
         new_mll, _ = _chol_mll(K_new, y_flat, state.noise, pad_count)
 
         log_alpha = log_q_prior + beta * (new_mll - cur_mll)
-        accept = jnp.log(u_accept) <= jnp.minimum(log_alpha, 0.0)
+        accept = log_u <= jnp.minimum(log_alpha, 0.0)
 
         K = jnp.where(accept, K_new, K)
         cur_mll = jnp.where(accept, new_mll, cur_mll)
@@ -333,7 +333,8 @@ def _tree_moves_chol(
     (K, cur_mll), accepts = jax.lax.scan(
         tree_move,
         (state.kern.K, state.mll),
-        (batch.cur_leavesT, batch.new_leavesT, batch.log_q_prior, batch.u_accept),
+        (batch.cur_leavesT, batch.new_leavesT, batch.log_q_prior,
+         jnp.log(batch.u_accept)),
     )
     forest, subs, leaves = _merge_accepted(packed0, state, batch, accepts)
     return forest, subs, leaves, K, cur_mll
@@ -400,7 +401,7 @@ def _tree_moves_rank1(
 
     def tree_move(carry, inputs):
         K_inv, K_logdet, v_y, quad, cur_mll = carry
-        W, log_q_prior, u_accept = inputs
+        W, log_q_prior, log_u = inputs
 
         # Fused rank-2 Woodbury for K' = K + w_add w_addT - w_sub w_subT:
         # K'^-1 = K^-1 - V M^-1 V^T with V = K^-1 W,
@@ -427,7 +428,7 @@ def _tree_moves_rank1(
         new_mll = 0.5 * (-quad2 - K_logdet2 + mll_corr)
         new_mll = jnp.where(denom2 > eps, new_mll, -jnp.inf)
         log_alpha = log_q_prior + beta * (new_mll - cur_mll)
-        accept = jnp.log(u_accept) <= jnp.minimum(log_alpha, 0.0)
+        accept = log_u <= jnp.minimum(log_alpha, 0.0)
 
         K_inv = jnp.where(accept, K_inv2, K_inv)
         K_logdet = jnp.where(accept, K_logdet2, K_logdet)
@@ -438,11 +439,54 @@ def _tree_moves_rank1(
 
     v_y0 = state.kern.K_inv @ y_flat
     quad0 = y_flat @ v_y0
-    (K_inv, K_logdet, _, _, cur_mll), accepts = jax.lax.scan(
-        tree_move,
-        (state.kern.K_inv, state.kern.K_logdet, v_y0, quad0, state.mll),
-        (W_all, batch.log_q_prior, batch.u_accept),
-    )
+
+    def tree_move_aug(carry, inputs):
+        # augmented-carry variant: A = [K_inv | v_y] (N, N+1) — the v_y
+        # update folds into the same rank-2 correction (K_inv' y =
+        # v_y - V M^-1 t), so one (N,2)@(2,N+1) matmul updates both and
+        # the carry needs one select instead of two. Identical arithmetic.
+        A, K_logdet, quad, cur_mll = carry
+        W, log_q_prior, log_u = inputs
+
+        V = A[:, :-1] @ W  # (N, 2)
+        G = W.T @ V  # (2, 2), = W^T K^-1 W by symmetry
+        t = W.T @ A[:, -1]  # (2,)
+        Acol, B, C = G[0, 0], G[1, 1], G[0, 1]
+        denom1 = 1.0 + Acol
+        detM = denom1 * (B - 1.0) - C * C
+        denom2 = -detM / denom1
+        Minv = jnp.array([[B - 1.0, -C], [-C, denom1]], dtype=A.dtype) / detM
+        P = V @ Minv  # (N, 2)
+        VT_aug = jnp.concatenate([V.T, t[:, None]], axis=1)  # (2, N+1)
+        A2 = A - P @ VT_aug
+        K_logdet2 = K_logdet + jnp.log(-detM)
+        quad2 = quad - t @ (Minv @ t)
+
+        new_mll = 0.5 * (-quad2 - K_logdet2 + mll_corr)
+        new_mll = jnp.where(denom2 > eps, new_mll, -jnp.inf)
+        log_alpha = log_q_prior + beta * (new_mll - cur_mll)
+        accept = log_u <= jnp.minimum(log_alpha, 0.0)
+
+        A = jnp.where(accept, A2, A)
+        K_logdet = jnp.where(accept, K_logdet2, K_logdet)
+        quad = jnp.where(accept, quad2, quad)
+        cur_mll = jnp.where(accept, new_mll, cur_mll)
+        return (A, K_logdet, quad, cur_mll), accept
+
+    if params.scan_style == "aug":
+        A0 = jnp.concatenate([state.kern.K_inv, v_y0[:, None]], axis=1)
+        (A, K_logdet, _, cur_mll), accepts = jax.lax.scan(
+            tree_move_aug,
+            (A0, state.kern.K_logdet, quad0, state.mll),
+            (W_all, batch.log_q_prior, jnp.log(batch.u_accept)),
+        )
+        K_inv = A[:, :-1]
+    else:
+        (K_inv, K_logdet, _, _, cur_mll), accepts = jax.lax.scan(
+            tree_move,
+            (state.kern.K_inv, state.kern.K_logdet, v_y0, quad0, state.mll),
+            (W_all, batch.log_q_prior, jnp.log(batch.u_accept)),
+        )
     forest, subs, leaves = _merge_accepted(packed0, state, batch, accepts)
     return forest, subs, leaves, K_inv, K_logdet, cur_mll
 
@@ -483,7 +527,7 @@ def _tree_moves_woodbury(
     def tree_move(carry, inputs):
         K_inv, K_logdet, cur_mll = carry
         (cur_lj, new_lj, leaf_mask_cur, leaf_mask_new, log_q_prior,
-         u_accept) = inputs
+         log_u) = inputs
 
         row_mask = mask[:, None]
         U_cur = s_sqrtm * row_mask * compact_onehot(cur_lj, leaf_mask_cur)
@@ -494,7 +538,7 @@ def _tree_moves_woodbury(
 
         new_mll = masked_mll(K_inv2, K_logdet2, y, state.noise, pad_count)
         log_alpha = log_q_prior + beta * (new_mll - cur_mll)
-        accept = jnp.log(u_accept) <= jnp.minimum(log_alpha, 0.0)
+        accept = log_u <= jnp.minimum(log_alpha, 0.0)
 
         K_inv = jnp.where(accept, K_inv2, K_inv)
         K_logdet = jnp.where(accept, K_logdet2, K_logdet)
@@ -505,7 +549,7 @@ def _tree_moves_woodbury(
         tree_move,
         (state.kern.K_inv, state.kern.K_logdet, state.mll),
         (batch.cur_leavesT, batch.new_leavesT, leaf_mask_cur_all,
-         leaf_mask_new_all, batch.log_q_prior, batch.u_accept),
+         leaf_mask_new_all, batch.log_q_prior, jnp.log(batch.u_accept)),
     )
     forest, subs, leaves = _merge_accepted(packed0, state, batch, accepts)
     return forest, subs, leaves, K_inv, K_logdet, cur_mll
@@ -574,11 +618,24 @@ def step(
         # accept ratio uses exact quantities and Sherman-Morrison drift
         # cannot outlive one step (50 rank-1 updates).
         gram = gram_from_leaves(leaves, leaves, params.node_limit, mask, mask)
-        K_cur = kernel_matrix(gram, state.noise, state.scale)
-        cur_inv, cur_logdet = chol_inv_logdet(K_cur)
+        if params.fused_refresh:
+            # one batched (2, N, N) factorization for both MH branches —
+            # halves the refresh's sequential Cholesky latency
+            K2 = jnp.stack(
+                [
+                    kernel_matrix(gram, state.noise, state.scale),
+                    kernel_matrix(gram, new_noise, new_scale),
+                ]
+            )
+            inv2, logdet2 = chol_inv_logdet(K2)
+            cur_inv, new_inv = inv2[0], inv2[1]
+            cur_logdet, new_logdet = logdet2[0], logdet2[1]
+        else:
+            K_cur = kernel_matrix(gram, state.noise, state.scale)
+            cur_inv, cur_logdet = chol_inv_logdet(K_cur)
+            K_new = kernel_matrix(gram, new_noise, new_scale)
+            new_inv, new_logdet = chol_inv_logdet(K_new)
         cur_mll = masked_mll(cur_inv, cur_logdet, y, state.noise, pad_count)
-        K_new = kernel_matrix(gram, new_noise, new_scale)
-        new_inv, new_logdet = chol_inv_logdet(K_new)
         new_mll = masked_mll(new_inv, new_logdet, y, new_noise, pad_count)
 
         log_alpha = log_q_prior + beta * (new_mll - cur_mll)

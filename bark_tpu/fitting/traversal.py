@@ -91,6 +91,155 @@ def node_subspace(
     return jnp.stack([lower, upper], axis=1)
 
 
+def node_subspace_packed(
+    packed: jax.Array,
+    node_idx: jax.Array,
+    bounds: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int,
+) -> jax.Array:
+    """:func:`node_subspace` on a packed ``(node_limit, 8)`` tree with a
+    gather/scatter-free body (the "select" hot style).
+
+    Semantically identical to the Forest walk; the per-trip bound update is
+    a ``(D,)`` one-hot select instead of a dynamic scatter, per-feature
+    reads are one-hot masked sums, and each trip reads two whole packed
+    rows (node + parent) instead of five scalar field gathers. TPU lowers
+    small-shape dynamic scatters poorly; at the proposal batch's shapes the
+    selects fuse into the surrounding elementwise work.
+    """
+    D = bounds.shape[0]
+    iota_d = jnp.arange(D, dtype=jnp.int32)
+    lower = bounds[:, 0]
+    upper = bounds[:, 1]
+    ft_f32 = feat_types.astype(jnp.float32)
+
+    def body(_, carry):
+        node, lower, upper = carry
+        at_root = node == 0
+        row = packed[node]
+        parent = row[5]
+        prow = packed[parent]
+        f = prow[1]
+        thr = jax.lax.bitcast_convert_type(prow[2], jnp.float32)
+        is_left = node == prow[3]
+
+        onehot = iota_d == f
+        ub_f = jnp.sum(jnp.where(onehot, upper, 0.0))
+        lb_f = jnp.sum(jnp.where(onehot, lower, 0.0))
+        ftype = jnp.sum(jnp.where(onehot, ft_f32, 0.0))
+        f_is_cat = ftype == FEAT_CAT
+        f_is_int = ftype == FEAT_INT
+
+        thr_i = thr.astype(jnp.int32)
+        ub_i = ub_f.astype(jnp.int32)
+        max_thr = next_power_of_2(ub_i) - 1
+        neg_thr = max_thr - thr_i
+        cat_ub = jnp.where(is_left, thr_i & ub_i, neg_thr & ub_i).astype(
+            upper.dtype
+        )
+
+        int_delta = jnp.where(f_is_int, 1.0, 0.0).astype(lower.dtype)
+        num_ub = jnp.where(is_left, jnp.minimum(thr, ub_f), ub_f)
+        num_lb = jnp.where(is_left, lb_f, jnp.maximum(thr + int_delta, lb_f))
+
+        new_ub = jnp.where(f_is_cat, cat_ub, num_ub)
+        new_lb = jnp.where(f_is_cat, lb_f, num_lb)
+
+        upd = onehot & ~at_root
+        upper = jnp.where(upd, new_ub, upper)
+        lower = jnp.where(upd, new_lb, lower)
+        node = jnp.where(at_root, node, parent)
+        return node, lower, upper
+
+    _, lower, upper = jax.lax.fori_loop(
+        0, max_depth, body, (node_idx.astype(jnp.int32), lower, upper)
+    )
+    return jnp.stack([lower, upper], axis=1)
+
+
+def node_subspace_doubling(
+    packed: jax.Array,
+    node_idx: jax.Array,
+    bounds: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int,
+) -> jax.Array:
+    """:func:`node_subspace` via pointer doubling + parallel reduction.
+
+    The walk's bound intersections are order-independent (min over
+    left-ancestor thresholds, max over right-ancestor thresholds, bitwise
+    AND of category masks — with the complement taken against the domain's
+    power-of-two ceiling, valid by the same ``(M − thr) & U == U & ~thr``
+    identity as :func:`child_subspaces`). So instead of a ``max_depth``-trip
+    sequential walk, compute the full ancestor chain in ``log2(max_depth)``
+    pointer-doubling steps and reduce all contributions at once. Bit-exact
+    with the walk.
+    """
+    nl = packed.shape[0]
+    D = bounds.shape[0]
+    parent = packed[:, 5]
+    parent = jnp.where(jnp.arange(nl, dtype=jnp.int32) == 0, 0, parent)
+
+    # chain[i] = parent^i(node): doubling — chain of length L extends to 2L
+    # via one batched gather through parent^L
+    chain = node_idx.astype(jnp.int32)[None]
+    P = parent
+    length = 1
+    while length < max_depth:
+        chain = jnp.concatenate([chain, P[chain]])
+        if 2 * length < max_depth:
+            P = P[P]
+        length *= 2
+    chain = chain[:max_depth]
+
+    anc = chain[1:]  # (max_depth-1,) ancestors (self-looped at root)
+    prev = chain[:-1]  # the on-path child of each ancestor
+    valid = prev != 0  # contributions stop once the path hits the root
+
+    rows = packed[anc]  # (max_depth-1, 8)
+    thr = jax.lax.bitcast_convert_type(rows[:, 2], jnp.float32)
+    is_left = prev == rows[:, 3]
+    onehot = rows[:, 1:2] == jnp.arange(D, dtype=jnp.int32)[None, :]
+    contrib = onehot & valid[:, None]  # (max_depth-1, D)
+
+    lower = bounds[:, 0]
+    upper = bounds[:, 1]
+    is_int = feat_types == FEAT_INT
+    is_cat = feat_types == FEAT_CAT
+
+    big = jnp.float32(jnp.inf)
+    ub_cand = jnp.where(contrib & is_left[:, None], thr[:, None], big)
+    num_ub = jnp.minimum(upper, jnp.min(ub_cand, axis=0))
+    int_delta = jnp.where(is_int, 1.0, 0.0).astype(lower.dtype)
+    lb_cand = jnp.where(
+        contrib & ~is_left[:, None], thr[:, None] + int_delta[None, :], -big
+    )
+    num_lb = jnp.maximum(lower, jnp.max(lb_cand, axis=0))
+
+    # categorical: AND of thr (left) / domain-ceiling complement (right)
+    M_d = next_power_of_2(upper.astype(jnp.int32)) - 1  # (D,)
+    thr_i = thr.astype(jnp.int32)[:, None]
+    cat_c = jnp.where(is_left[:, None], thr_i, M_d[None, :] - thr_i)
+    cat_c = jnp.where(contrib, cat_c, -1)  # identity for AND
+    # tree-reduce the AND in log2 steps (pad to a power of two with -1)
+    n_rows = cat_c.shape[0]
+    pow2 = 1
+    while pow2 < n_rows:
+        pow2 *= 2
+    cat_c = jnp.concatenate(
+        [cat_c, jnp.full((pow2 - n_rows, D), -1, jnp.int32)], axis=0
+    )
+    while cat_c.shape[0] > 1:
+        half = cat_c.shape[0] // 2
+        cat_c = cat_c[:half] & cat_c[half:]
+    cat_ub = (upper.astype(jnp.int32) & cat_c[0]).astype(upper.dtype)
+
+    new_ub = jnp.where(is_cat, cat_ub, num_ub)
+    new_lb = jnp.where(is_cat, lower, num_lb)
+    return jnp.stack([new_lb, new_ub], axis=1)
+
+
 def child_subspaces(
     subspace: jax.Array,
     feat: jax.Array,

@@ -118,9 +118,9 @@ def chol_inv_logdet(K: jax.Array) -> tuple[jax.Array, jax.Array]:
     positive diagonal, so Cholesky is both valid and cheaper/stabler.
     """
     L = jnp.linalg.cholesky(K)
-    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    eye = jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape)
     L_inv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    K_inv = L_inv.T @ L_inv
+    K_inv = jnp.swapaxes(L_inv, -1, -2) @ L_inv  # batch-safe transpose
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
     return K_inv, logdet
 

@@ -119,6 +119,59 @@ def test_backends_agree_on_trajectory():
     )
 
 
+def test_hot_styles_agree_on_trajectory():
+    """hot_style / fused_refresh only change the lowering — same keys must
+    yield identical trajectories (one-hot selects are exact)."""
+    dom, X, y = make_problem(n=20, seed=4)
+    bounds = jnp.asarray(dom.bounds("bitmask"))
+    ft = jnp.asarray(dom.feature_types())
+
+    out = {}
+    variants = {
+        "scatter": dict(hot_style="scatter"),
+        "walk_select": dict(hot_style="walk_select"),
+        "select": dict(hot_style="select"),
+        "select_fused": dict(hot_style="select", fused_refresh=True),
+        "doubling": dict(hot_style="doubling"),
+        "doubling_fused": dict(hot_style="doubling", fused_refresh=True),
+        # aug scan differs only in matmul association ((V Minv) t vs
+        # V (Minv t)) — statistically identical; exact equality holds at
+        # these few-step x64 scales
+        "aug_scan": dict(scan_style="aug"),
+    }
+    for name, kw in variants.items():
+        params = SamplerParams(
+            warmup_steps=3,
+            num_samples=3,
+            steps_per_sample=2,
+            num_chains=2,
+            num_trees=6,
+            **kw,
+        )
+        forest = create_empty_forest(6, params.node_limit, batch_shape=(2,))
+        model = BARKModel(forest, jnp.full((2,), 0.1), jnp.ones((2,)))
+        out[name] = run_bark_sampler(
+            jax.random.key(11), model, X, y, bounds, ft, params
+        )
+
+    ref = out["scatter"]
+    for name in ("walk_select", "select", "select_fused", "doubling",
+                 "doubling_fused", "aug_scan"):
+        np.testing.assert_array_equal(
+            np.asarray(ref.forest.threshold),
+            np.asarray(out[name].forest.threshold),
+            err_msg=name,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.forest.left), np.asarray(out[name].forest.left),
+            err_msg=name,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.noise), np.asarray(out[name].noise), rtol=1e-6,
+            err_msg=name,
+        )
+
+
 def test_sampler_moves_and_shapes():
     dom, X, y = make_problem(n=30, seed=1)
     params = SamplerParams(
