@@ -88,11 +88,18 @@ class SamplerParams:
     #     lower worse than 16 cheap select trips.
     hot_style: str = "walk_select"
 
-    # rank1 backend: factorize the once-per-step refresh's two MH branches
-    # as one batched (2, N, N) Cholesky instead of two sequential ones.
-    # Measured neutral (5516 vs 5510) — the refresh is off the critical
-    # path; default off to keep the program simpler.
-    fused_refresh: bool = False
+    # rank1 backend: lowering of the once-per-step exact refresh.
+    #   "pair" — two chol_inv_logdet calls (cur/new); the N-RHS triangular
+    #     solve inside each lowers to a ~2.5 ms serial substitution fusion
+    #     on TPU, twice per step — the single largest cost after the
+    #     hot_style fix (device profile, CLAUDE.md).
+    #   "batched" — one (2, N, N) batched factorize+invert (measured
+    #     neutral: the serial solve just doubles inside one op).
+    #   "onesolve" — both MLLs from one batched Cholesky + single-RHS
+    #     solves; the N-RHS inverse solve runs once on the selected
+    #     branch's factor. MLL via ||L^-1 y||^2 (same math; last-ulp
+    #     association differs from the inverse-based form).
+    refresh_style: str = "pair"
 
     # rank1 move-scan carry: "plain" keeps (K_inv, v_y) separate; "aug"
     # carries the augmented [K_inv | v_y] so one fused (N,2)@(2,N+1)

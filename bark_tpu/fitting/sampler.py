@@ -618,7 +618,59 @@ def step(
         # accept ratio uses exact quantities and Sherman-Morrison drift
         # cannot outlive one step (50 rank-1 updates).
         gram = gram_from_leaves(leaves, leaves, params.node_limit, mask, mask)
-        if params.fused_refresh:
+        if params.refresh_style == "onesolve":
+            # both branches' exact MLLs come from one batched Cholesky +
+            # one single-RHS triangular solve (z = L⁻¹y, mll from ‖z‖²);
+            # the expensive N-RHS inverse solve runs ONCE, on the selected
+            # branch's factor. (The N-RHS triangular solve lowers to a
+            # serial substitution fusion on TPU — the single largest op in
+            # the step; see CLAUDE.md performance notes.)
+            K2 = jnp.stack(
+                [
+                    kernel_matrix(gram, state.noise, state.scale),
+                    kernel_matrix(gram, new_noise, new_scale),
+                ]
+            )
+            L2 = jnp.linalg.cholesky(K2)
+            logdet2 = 2.0 * jnp.sum(
+                jnp.log(jnp.diagonal(L2, axis1=-2, axis2=-1)), axis=-1
+            )
+            y2 = jnp.broadcast_to(y.reshape(-1), (2, y.size))[..., None]
+            z2 = jax.scipy.linalg.solve_triangular(L2, y2, lower=True)[..., 0]
+            quad2 = jnp.sum(z2 * z2, axis=-1)
+            corr = jnp.stack(
+                [
+                    pad_count * jnp.log(JITTER + state.noise),
+                    pad_count * jnp.log(JITTER + new_noise),
+                ]
+            )
+            mll2 = 0.5 * (-quad2 - logdet2 + corr)
+            cur_mll, new_mll = mll2[0], mll2[1]
+            cur_logdet, new_logdet = logdet2[0], logdet2[1]
+
+            log_alpha = log_q_prior + beta * (new_mll - cur_mll)
+            u = jax.random.uniform(k_hyper_accept, dtype=jnp.float32)
+            accept = jnp.log(u) <= jnp.minimum(log_alpha, 0.0)
+
+            L_sel = jnp.where(accept, L2[1], L2[0])
+            eye = jnp.eye(L_sel.shape[-1], dtype=L_sel.dtype)
+            L_inv = jax.scipy.linalg.solve_triangular(L_sel, eye, lower=True)
+            K_inv_sel = L_inv.T @ L_inv
+            kern = KernState(
+                K=_empty(),
+                K_inv=K_inv_sel,
+                K_logdet=jnp.where(accept, new_logdet, cur_logdet),
+            )
+            return ChainState(
+                forest=forest,
+                leaves=leaves,
+                noise=jnp.where(accept, new_noise, state.noise),
+                scale=jnp.where(accept, new_scale, state.scale),
+                kern=kern,
+                mll=jnp.where(accept, new_mll, cur_mll),
+                subspaces=subs,
+            )
+        if params.refresh_style == "batched":
             # one batched (2, N, N) factorization for both MH branches —
             # halves the refresh's sequential Cholesky latency
             K2 = jnp.stack(
@@ -630,7 +682,7 @@ def step(
             inv2, logdet2 = chol_inv_logdet(K2)
             cur_inv, new_inv = inv2[0], inv2[1]
             cur_logdet, new_logdet = logdet2[0], logdet2[1]
-        else:
+        else:  # "pair"
             K_cur = kernel_matrix(gram, state.noise, state.scale)
             cur_inv, cur_logdet = chol_inv_logdet(K_cur)
             K_new = kernel_matrix(gram, new_noise, new_scale)

@@ -120,8 +120,9 @@ def test_backends_agree_on_trajectory():
 
 
 def test_hot_styles_agree_on_trajectory():
-    """hot_style / fused_refresh only change the lowering — same keys must
-    yield identical trajectories (one-hot selects are exact)."""
+    """hot_style / refresh_style / scan_style only change the lowering —
+    same keys must yield identical trajectories (one-hot selects are exact;
+    the onesolve MLL differs only in last-ulp association)."""
     dom, X, y = make_problem(n=20, seed=4)
     bounds = jnp.asarray(dom.bounds("bitmask"))
     ft = jnp.asarray(dom.feature_types())
@@ -131,9 +132,9 @@ def test_hot_styles_agree_on_trajectory():
         "scatter": dict(hot_style="scatter"),
         "walk_select": dict(hot_style="walk_select"),
         "select": dict(hot_style="select"),
-        "select_fused": dict(hot_style="select", fused_refresh=True),
+        "select_fused": dict(hot_style="select", refresh_style="batched"),
         "doubling": dict(hot_style="doubling"),
-        "doubling_fused": dict(hot_style="doubling", fused_refresh=True),
+        "doubling_fused": dict(hot_style="doubling", refresh_style="onesolve"),
         # aug scan differs only in matmul association ((V Minv) t vs
         # V (Minv t)) — statistically identical; exact equality holds at
         # these few-step x64 scales
