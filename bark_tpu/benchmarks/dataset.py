@@ -15,6 +15,8 @@ domains themselves are always available (``dataset_domain(name)``).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from bark_tpu.benchmarks.base import Benchmark, register_benchmark
@@ -146,7 +148,7 @@ def _load_dataframe(dataset_name: str, data):
             ) from e
         ds = fetch_ucirepo(name=dataset_name)
         return pd.concat((ds.data.features, ds.data.targets), axis=1)
-    if isinstance(data, (str,)):
+    if isinstance(data, (str, os.PathLike)):
         return pd.read_csv(data)
     return data
 
@@ -165,26 +167,38 @@ class DatasetBenchmark(Benchmark):
         df = _load_dataframe(dataset_name, data)
         target = self.domain.output_keys[0]
         cols = self.domain.input_keys + [target]
-        df = df[cols].dropna(axis=0)
+        # drop NaNs on *input* columns only + sample std (ddof=1), matching
+        # the reference's df.dropna / pandas .std() (dataset.py:140-144)
+        df = df[cols].dropna(subset=self.domain.input_keys)
         y = np.asarray(df[target], dtype=np.float64)
         if standardise:
-            y = (y - y.mean()) / y.std()
+            y = (y - np.nanmean(y)) / np.nanstd(y, ddof=1)
         # ordinal-encode inputs once; lookups key on encoded rows
         self.X_data = self.domain.transform({k: df[k] for k in self.domain.input_keys})
         self.y_data = y
         self._num_sampled = 0
+        # sample() records the indices it drew so f() can resolve targets by
+        # row index (reference: dataset.py:146-148); UCI data contains
+        # duplicate feature rows, so value-matching alone can pick the wrong
+        # row's target.
+        self._sampled_index: dict[bytes, int] = {}
 
     def _f(self, X: np.ndarray) -> np.ndarray:
-        # row-identity lookup (reference: dataset.py:146-148 uses the index)
         out = np.empty(len(X), dtype=np.float64)
         for i, row in enumerate(np.asarray(X, np.float32)):
-            match = np.flatnonzero(np.all(np.isclose(self.X_data, row), axis=1))
-            if match.size == 0:
-                raise KeyError(
-                    "DatasetBenchmark.f: point not in the dataset; draw points "
-                    "with .sample()"
+            idx = self._sampled_index.get(row.tobytes())
+            if idx is None:
+                # externally-constructed point: fall back to value match
+                match = np.flatnonzero(
+                    np.all(np.isclose(self.X_data, row), axis=1)
                 )
-            out[i] = self.y_data[match[0]]
+                if match.size == 0:
+                    raise KeyError(
+                        "DatasetBenchmark.f: point not in the dataset; draw "
+                        "points with .sample()"
+                    )
+                idx = int(match[0])
+            out[i] = self.y_data[idx]
         return out
 
     def sample(self, n_samples: int, seed: int = 0) -> np.ndarray:
@@ -194,4 +208,9 @@ class DatasetBenchmark(Benchmark):
         order = np.random.default_rng(seed).permutation(len(self.y_data))
         idx = order[self._num_sampled : self._num_sampled + n_samples]
         self._num_sampled += n_samples
-        return self.X_data[idx]
+        rows = self.X_data[idx]
+        for row, j in zip(rows, idx):
+            # last draw wins on duplicate rows — later draws are the ones a
+            # caller is about to evaluate
+            self._sampled_index[row.tobytes()] = int(j)
+        return rows

@@ -107,6 +107,24 @@ class SamplerParams:
     # already overlaps the v_y matvec; the concat adds real work.
     scan_style: str = "plain"
 
+    _ALLOWED_MODES = {
+        "kernel_backend": ("rank1", "chol", "woodbury"),
+        "subspace_mode": ("walk", "carry"),
+        "hot_style": ("walk_select", "scatter", "select", "doubling"),
+        "refresh_style": ("pair", "batched", "onesolve"),
+        "scan_style": ("plain", "aug"),
+    }
+
+    def __post_init__(self):
+        # A typo'd mode would otherwise fall through else-branches to the
+        # slow lowering silently (a perf regression, not an error).
+        for name, allowed in self._ALLOWED_MODES.items():
+            value = getattr(self, name)
+            if value not in allowed:
+                raise ValueError(
+                    f"SamplerParams.{name}={value!r}: must be one of {allowed}"
+                )
+
     @property
     def proposal_weights(self) -> tuple[float, float, float]:
         """Normalized (grow, prune, change) probabilities.

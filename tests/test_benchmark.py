@@ -86,8 +86,10 @@ def test_dataset_benchmark_roundtrip():
     assert not any(np.all(np.isclose(X1, r), axis=1).any() for r in X2)
     y = bench.f(X1)
     assert y.shape == (8,) and np.isfinite(y).all()
-    # standardized target
-    assert abs(bench.y_data.mean()) < 1e-9 and abs(bench.y_data.std() - 1) < 1e-9
+    # standardized target with sample std (ddof=1), matching the
+    # reference's pandas .std() (dataset.py:140-144)
+    assert abs(bench.y_data.mean()) < 1e-9
+    assert abs(bench.y_data.std(ddof=1) - 1) < 1e-9
     with pytest.raises(KeyError):
         bench.f(np.full((1, dom.dim), -123.0, np.float32))
 
