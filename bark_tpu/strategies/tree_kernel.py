@@ -25,7 +25,7 @@ from bark_tpu.models.surrogate import (
     _BARKSurrogateBase,
 )
 from bark_tpu.optimizer.acquisition import DEFAULT_KAPPA, build_acquisition
-from bark_tpu.optimizer.search import propose
+from bark_tpu.optimizer.search import propose, sample_feasible
 
 logger = logging.getLogger(__name__)
 
@@ -52,6 +52,7 @@ class TreeKernelStrategy:
         self._key = jax.random.key(seed + 1)
         self.X: np.ndarray | None = None
         self.y: np.ndarray | None = None
+        self._last_proposal: np.ndarray | None = None
 
     # --- tell ------------------------------------------------------------
 
@@ -91,7 +92,7 @@ class TreeKernelStrategy:
         """
         assert candidate_count == 1, "BARK proposes single candidates"
         if not self.has_sufficient_experiments() or not self.surrogate.is_fitted:
-            return self.domain.sample(1, self._rng)
+            return sample_feasible(self.domain, 1, self._rng)
 
         try:
             train_x, train_y = self.surrogate.train_data
@@ -114,14 +115,39 @@ class TreeKernelStrategy:
                 num_rounds=self.num_rounds,
                 max_depth=self.surrogate.params.max_depth,
                 rng=self._rng,
+                seeds=self._warm_start_seeds(),
             )
+            self._last_proposal = candidate
             return candidate[None, :]
         except Exception:
             logger.warning(
                 "Failed to optimize acqf, proposing random candidate.",
                 exc_info=True,
             )
-            return self.domain.sample(1, self._rng)
+            return sample_feasible(self.domain, 1, self._rng)
+
+    def _warm_start_seeds(self, n_jitter: int = 3) -> np.ndarray | None:
+        """Round-0 elites: incumbent best X, the previous proposal, and
+        jittered copies of each.
+
+        The analogue of the reference's MIP warm start from the previous
+        candidate (src/bark/optimizer/opt_model.py:120-164) — BO's strongest
+        prior information is where it last looked and where the incumbent
+        sits.
+        """
+        anchors = []
+        if self.y is not None and len(self.y):
+            anchors.append(self.X[int(np.argmin(self.y))])
+        if self._last_proposal is not None:
+            anchors.append(self._last_proposal)
+        if not anchors:
+            return None
+        anchors = np.stack(anchors).astype(np.float32)
+        bounds = self.domain.bounds("ordinal")
+        span = bounds[:, 1] - bounds[:, 0]
+        jit = np.repeat(anchors, n_jitter, axis=0)
+        jit = jit + self._rng.normal(0.0, 0.05, jit.shape) * span[None, :]
+        return self.domain.round(np.vstack([anchors, jit]))
 
     def predict(self, X) -> tuple[np.ndarray, np.ndarray]:
         return self.surrogate.predict(X)
@@ -174,4 +200,4 @@ class RandomStrategy:
             self.y = np.concatenate([self.y, y_new])
 
     def ask(self, candidate_count: int = 1) -> np.ndarray:
-        return self.domain.sample(candidate_count, self._rng)
+        return sample_feasible(self.domain, candidate_count, self._rng)
