@@ -69,14 +69,14 @@ def sharded_run_sampler(
     per_device = num_chains // mesh.shape["chains"]
     assert per_device * mesh.shape["chains"] == num_chains
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(P("chains"), P("chains"), P("chains"), P("chains"), P(), P(), P(), P()),
         out_specs=(P("chains"), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def run_local(keys, forest, noise, scale, X, y, bounds, feat_types):
         def one(k, f, n, s):

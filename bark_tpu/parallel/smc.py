@@ -8,10 +8,21 @@ ESS equation), (b) systematically resamples when ESS degenerates, and
 population is a weighted posterior sample and the accumulated log-evidence
 estimates the marginal likelihood — a quantity the reference cannot produce.
 
-New capability over the reference (BASELINE.json north star). Particles
-vmap on-chip; across chips the population shards over the ``chains`` mesh
-axis with `psum`-reduced weight statistics and island-style resampling
-(bark_tpu.parallel.sharding patterns).
+New capability over the reference (BASELINE.json north star). Two
+implementations:
+
+  - ``run_smc`` — the whole population vmapped on one chip.
+  - ``run_smc_sharded`` — the population sharded over a ``particles`` mesh
+    axis. The per-round weight statistics (ESS, adaptive next-beta
+    bisection, evidence increments) are computed from an ``all_gather`` of
+    the (N_p,) per-particle scalars — identical on every device, so the
+    tempering schedule and resample decisions are bit-equal to the
+    single-device code by construction (the tests assert this on the
+    collective pieces). Systematic resampling is distributed: global
+    ancestor indices are computed replicated, then each device gathers its
+    block's ancestors from an ``all_gather`` of the particle state (the
+    simple island-style exchange; at N_p scalars per round the collective
+    cost is dominated by the one state gather on resample rounds).
 """
 
 from __future__ import annotations
@@ -73,6 +84,162 @@ def systematic_resample(key: jax.Array, log_w: jax.Array) -> jax.Array:
     positions = (jnp.arange(n) + jax.random.uniform(key)) / n
     cum = jnp.cumsum(w)
     return jnp.searchsorted(cum, positions).astype(jnp.int32).clip(0, n - 1)
+
+
+def run_smc_sharded(
+    key: jax.Array,
+    X: jax.Array,
+    y: jax.Array,
+    bounds: jax.Array,
+    feat_types: jax.Array,
+    params: SamplerParams,
+    mesh: jax.sharding.Mesh,
+    num_particles: int = 64,
+    num_rounds: int = 16,
+    mutation_steps: int = 2,
+    target_ess: float = 0.6,
+    resample_threshold: float = 0.5,
+    mask: jax.Array | None = None,
+    axis_name: str = "particles",
+) -> SMCResult:
+    """Adaptive-tempering SMC with the population sharded over ``axis_name``.
+
+    Same algorithm and update ordering as ``run_smc``; the population-wide
+    quantities come from gathered (N_p,) scalars so every device takes the
+    same schedule. ``num_particles`` must divide by the mesh size.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis_name]
+    assert num_particles % n_dev == 0, "particles must divide the mesh"
+    local = num_particles // n_dev
+
+    k_forest, k_noise, k_rounds = jax.random.split(key, 3)
+    forests = sample_forest_prior(
+        k_forest,
+        params.num_trees,
+        bounds,
+        feat_types,
+        alpha=params.alpha,
+        beta=params.beta,
+        num_samples=num_particles,
+        node_limit=params.node_limit,
+        max_depth=params.max_depth,
+    )
+    noises = sample_noise_prior(
+        k_noise, params.gamma_prior_shape, params.gamma_prior_rate, num_particles
+    ).astype(jnp.float32)
+    scales = jnp.ones((num_particles,), jnp.float32)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(axis_name),
+            P(axis_name),
+            P(axis_name),
+            P(),
+            P(),
+            P(),
+            P(),
+        ),
+        out_specs=(
+            P(axis_name),
+            P(axis_name),
+            P(),
+            P(),
+            P(),
+        ),
+        check_vma=False,
+    )
+    def run(k_rounds, forests, noises, scales, X, y, bounds, feat_types):
+        i = jax.lax.axis_index(axis_name)
+        chains = jax.vmap(
+            lambda f, n, s: init_chain_state(
+                f, n, s, X, y, feat_types, params, mask, bounds=bounds
+            )
+        )(forests, noises, scales)
+
+        def gather(v):
+            return jax.lax.all_gather(v, axis_name, axis=0, tiled=True)
+
+        def one_round(carry, k):
+            chains, beta, log_w, log_Z = carry
+            k_res, k_mut = jax.random.split(k)
+
+            mll_g = gather(chains.mll)  # (N_p,) replicated
+            log_w_g = gather(log_w)
+            new_beta = _next_beta(beta, mll_g, target_ess)
+            inc = (new_beta - beta) * chains.mll
+            inc_g = (new_beta - beta) * mll_g
+            w_norm_g = jax.nn.softmax(log_w_g)
+            log_Z = log_Z + jax.scipy.special.logsumexp(inc_g, b=w_norm_g)
+            log_w = log_w + inc
+            log_w_g = log_w_g + inc_g
+
+            ess = _ess(log_w_g)
+            do_resample = ess < resample_threshold * num_particles
+            ancestors_g = systematic_resample(k_res, log_w_g)  # (N_p,) replicated
+            my_anc = jax.lax.dynamic_slice_in_dim(
+                ancestors_g, i * local, local
+            )
+            # island-style exchange: gather the population, index my block
+            chains_g = jax.tree.map(gather, chains)
+            resampled = jax.tree.map(lambda a: a[my_anc], chains_g)
+            chains = jax.tree.map(
+                lambda new, old: jnp.where(do_resample, new, old),
+                resampled,
+                chains,
+            )
+            log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w)
+
+            def mutate(c, kk):
+                def body(c, k1):
+                    return step(
+                        k1, c, X, y, bounds, feat_types, params, mask,
+                        beta=new_beta,
+                    ), None
+
+                c, _ = jax.lax.scan(body, c, jax.random.split(kk, mutation_steps))
+                return c
+
+            # same per-particle key stream as the single-device run_smc
+            keys_g = jax.random.split(k_mut, num_particles)
+            keys = jax.lax.dynamic_slice_in_dim(keys_g, i * local, local)
+            chains = jax.vmap(mutate)(chains, keys)
+            return (chains, new_beta, log_w, log_Z), (
+                new_beta,
+                _ess(gather(log_w)),
+            )
+
+        log_w0 = jnp.zeros((local,), jnp.float32)
+        (chains, beta, log_w, log_Z), (betas, ess_trace) = jax.lax.scan(
+            one_round,
+            (chains, jnp.float32(0.0), log_w0, jnp.float32(0.0)),
+            jax.random.split(k_rounds, num_rounds),
+        )
+        log_w_final = jax.nn.log_softmax(gather(log_w))
+        my_log_w = jax.lax.dynamic_slice_in_dim(log_w_final, i * local, local)
+        return (
+            (chains.forest, chains.noise, chains.scale),
+            my_log_w,
+            log_Z,
+            betas,
+            ess_trace,
+        )
+
+    (forest, noise, scale), log_w, log_Z, betas, ess_trace = run(
+        k_rounds, forests, noises, scales, X, y, bounds, feat_types
+    )
+    return SMCResult(
+        model=BARKModel(forest=forest, noise=noise, scale=scale),
+        log_weights=log_w,
+        log_evidence=log_Z,
+        betas=betas,
+        ess_trace=ess_trace,
+    )
 
 
 @functools.partial(

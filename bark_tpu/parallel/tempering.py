@@ -8,9 +8,22 @@ rather than states (the standard trick: states stay resident, the beta
 emitted from whichever replica currently holds beta = 1.
 
 This is a new capability over the reference (BASELINE.json north star) —
-the reference has only plain MH chains. Replicas vmap on-chip; across chips
-a ``replicas`` mesh axis exchanges (beta, mll) scalars with `ppermute`
-(see ``sharded_pt_swap``).
+the reference has only plain MH chains. Two implementations:
+
+  - ``run_parallel_tempering`` — replicas vmapped on one chip, label-moving
+    swaps (``swap_move``: betas migrate, states stay put).
+  - ``run_parallel_tempering_sharded`` — one replica per device on a
+    ``replicas`` mesh axis, *fixed-position* ladder (device r always holds
+    beta_r), deterministic even-odd (DEO) rounds. A swap exchanges the
+    partner replicas' (mll) scalar and then the full chain state over ICI
+    with ``jax.lax.ppermute`` (``sharded_pt_swap``); the accept draw is
+    derived from ``fold_in(key, left_position)`` so both partners decide
+    identically without extra communication. ``pt_swap_states`` is the
+    bit-identical single-device reference used by the tests.
+
+The two schemes are statistically equivalent (same stationary distribution,
+same pairwise accept rule); they are not trajectory-identical because the
+label-moving variant draws its uniforms differently.
 """
 
 from __future__ import annotations
@@ -75,6 +88,173 @@ def swap_move(key: jax.Array, betas: jax.Array, mlls: jax.Array, parity: jax.Arr
     new_ranked_betas = jnp.where(accept, ranked_betas[partner], ranked_betas)
     # scatter back to replica ids
     return betas.at[order].set(new_ranked_betas)
+
+
+# --- fixed-position (DEO) swaps: single-device reference + sharded --------
+
+
+def _deo_partners(idx: jax.Array, parity: int, r: int):
+    """Even-odd pairing by ladder position: positions (parity, parity+1),
+    (parity+2, parity+3), ... Returns (partner, valid, left_position)."""
+    is_left = ((idx - parity) % 2) == 0
+    partner = jnp.where(is_left, idx + 1, idx - 1)
+    valid = (partner >= 0) & (partner < r)
+    left = jnp.minimum(idx, jnp.clip(partner, 0, r - 1))
+    return jnp.clip(partner, 0, r - 1), valid, left
+
+
+def _swap_accept(key, beta, nbr_beta, mll, nbr_mll, left, valid):
+    """Pairwise PT accept bit, identical on both partners: the *left*
+    position's fold_in stream supplies the uniform."""
+    delta = (beta - nbr_beta) * (nbr_mll - mll)
+    u = jax.random.uniform(jax.random.fold_in(key, left))
+    return valid & (jnp.log(u) <= jnp.minimum(delta, 0.0))
+
+
+def pt_swap_states(
+    key: jax.Array, chains, betas: jax.Array, mlls: jax.Array, parity: int
+):
+    """Single-device fixed-position swap: betas stay attached to positions,
+    accepted pairs exchange full chain *states*. Bit-identical math to
+    ``sharded_pt_swap`` (the tests assert it). Returns (chains, accepts)."""
+    r = betas.shape[0]
+    idx = jnp.arange(r)
+    partner, valid, left = _deo_partners(idx, parity, r)
+    accept = jax.vmap(
+        lambda b, nb, m, nm, lf, v: _swap_accept(key, b, nb, m, nm, lf, v)
+    )(betas, betas[partner], mlls, mlls[partner], left, valid)
+    take = jnp.where(accept, partner, idx)
+    return jax.tree.map(lambda a: a[take], chains), accept
+
+
+def _deo_perm(r: int, parity: int) -> list[tuple[int, int]]:
+    """Static bidirectional ppermute pairing for one DEO phase."""
+    perm = []
+    for a in range(parity, r - 1, 2):
+        perm += [(a, a + 1), (a + 1, a)]
+    return perm
+
+
+def sharded_pt_swap(
+    key: jax.Array,
+    chains,
+    beta: jax.Array,
+    mll: jax.Array,
+    parity: int,
+    axis_name: str,
+    num_replicas: int,
+):
+    """One DEO swap phase with one replica per device on ``axis_name``.
+
+    Exchanges the partner's (beta, mll) scalars and the full chain state via
+    ``ppermute`` over ICI; each pair decides from the shared
+    ``fold_in(key, left_position)`` uniform so no accept bit needs to travel.
+    Unpaired edge devices receive ppermute zeros and keep their state
+    (``valid`` is False there). Returns (chains, accept) for this device.
+    """
+    perm = _deo_perm(num_replicas, parity)
+    i = jax.lax.axis_index(axis_name)
+    partner, valid, left = _deo_partners(i, parity, num_replicas)
+    del partner  # implicit in the static perm
+    nbr_beta = jax.lax.ppermute(beta, axis_name, perm)
+    nbr_mll = jax.lax.ppermute(mll, axis_name, perm)
+    accept = _swap_accept(key, beta, nbr_beta, mll, nbr_mll, left, valid)
+    nbr_chains = jax.tree.map(
+        lambda a: jax.lax.ppermute(a, axis_name, perm), chains
+    )
+    new_chains = jax.tree.map(
+        lambda a, b: jnp.where(accept, b, a), chains, nbr_chains
+    )
+    return new_chains, accept
+
+
+def run_parallel_tempering_sharded(
+    key: jax.Array,
+    forest: Forest,
+    noise: jax.Array,
+    scale: jax.Array,
+    X: jax.Array,
+    y: jax.Array,
+    bounds: jax.Array,
+    feat_types: jax.Array,
+    params: SamplerParams,
+    mesh: jax.sharding.Mesh,
+    num_steps: int = 100,
+    beta_min: float = 0.05,
+    mask: jax.Array | None = None,
+    axis_name: str = "replicas",
+) -> tuple[BARKModel, jax.Array]:
+    """PT with one replica per device over a ``replicas`` mesh axis.
+
+    ``forest``/``noise``/``scale`` carry a leading (R,) axis with R equal to
+    the mesh size. Each round runs one tempered MCMC step per replica, then
+    an even and an odd ``sharded_pt_swap`` phase (DEO). Device 0 always
+    holds beta=1, so the cold-chain trace is ``samples[:, 0]``-free: the
+    returned model's leading axes are (num_steps,) cold samples plus a
+    (num_steps,) mean swap-rate trace.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    num_replicas = mesh.shape[axis_name]
+    ladder = geometric_ladder(num_replicas, beta_min)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(key, forest, noise, scale, X, y, bounds, feat_types):
+        # local block has leading axis 1 (one replica per device)
+        forest_l = jax.tree.map(lambda a: a[0], forest)
+        i = jax.lax.axis_index(axis_name)
+        beta = jnp.asarray(ladder)[i]
+        state = init_chain_state(
+            forest_l, noise[0], scale[0], X, y, feat_types, params, mask,
+            bounds=bounds,
+        )
+
+        def one_round(carry, k):
+            state = carry
+            k_step, k_even, k_odd = jax.random.split(k, 3)
+            state = step(
+                k_step, state, X, y, bounds, feat_types, params, mask, beta=beta
+            )
+            state, acc_e = sharded_pt_swap(
+                k_even, state, beta, state.mll, 0, axis_name, num_replicas
+            )
+            state, acc_o = sharded_pt_swap(
+                k_odd, state, beta, state.mll, 1, axis_name, num_replicas
+            )
+            # each accepted pair sets the accept bit on BOTH partners, so
+            # the psum counts every swap twice; R-1 = adjacent pairs across
+            # the two DEO phases
+            swap_rate = jax.lax.psum(
+                (acc_e + acc_o).astype(jnp.float32), axis_name
+            ) / (2.0 * max(num_replicas - 1, 1))
+            is_cold = (i == 0).astype(jnp.float32)
+            cold = jax.tree.map(
+                lambda a: jax.lax.psum(a * is_cold, axis_name)
+                if a.dtype in (jnp.float32, jnp.float64)
+                else jax.lax.psum(
+                    (a * is_cold.astype(a.dtype)), axis_name
+                ),
+                (state.forest, state.noise, state.scale),
+            )
+            return state, (cold, swap_rate)
+
+        _, (cold_samples, swap_rates) = jax.lax.scan(
+            one_round, state, jax.random.split(key, num_steps)
+        )
+        return cold_samples, swap_rates
+
+    (cold_forest, cold_noise, cold_scale), swap_rates = run(
+        key, forest, noise, scale, X, y, bounds, feat_types
+    )
+    samples = BARKModel(forest=cold_forest, noise=cold_noise, scale=cold_scale)
+    return samples, swap_rates
 
 
 @functools.partial(jax.jit, static_argnames=("params", "num_replicas", "num_steps"))
