@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from bark_tpu.forest import Forest, gram_from_leaves, route_forest
-from bark_tpu.ops.linalg import JITTER, chol_inv_logdet, gp_posterior
+from bark_tpu.ops.linalg import JITTER, gp_posterior, robust_chol_inv_logdet
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth",))
@@ -54,7 +54,7 @@ def forest_predict(
         K_XX = K_XX + (JITTER + noise_s) * jnp.eye(
             train_x.shape[0], dtype=K_XX.dtype
         )
-        K_inv, _ = chol_inv_logdet(K_XX)
+        K_inv, _ = robust_chol_inv_logdet(K_XX)  # jitter escalation
         K_xX = scale_s * gram_from_leaves(
             cand_leaves, train_leaves, node_limit, None, train_mask
         )

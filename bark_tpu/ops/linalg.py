@@ -125,6 +125,31 @@ def chol_inv_logdet(K: jax.Array) -> tuple[jax.Array, jax.Array]:
     return K_inv, logdet
 
 
+def robust_chol_inv_logdet(
+    K: jax.Array, escalations: tuple[float, ...] = (1e2, 1e4)
+) -> tuple[jax.Array, jax.Array]:
+    """``chol_inv_logdet`` with in-graph jitter escalation.
+
+    The agreement kernel is only PSD up to sampling (the reference warns at
+    src/bark/optimizer/thompson_sampling.py:17-21 and leans on a fixed 1e-6
+    jitter); a near-singular posterior sample can fail the factorization,
+    surfacing as NaNs. Each escalation re-factorizes ``K + f*JITTER*I`` and
+    is selected only where the previous attempt produced non-finite output.
+    Used on the predict/acquisition paths (once per fit/ask, vmapped over
+    posterior samples) — NOT in the sampler hot loop, where a NaN mll simply
+    rejects the move (NaN-safe MH).
+    """
+    eye = jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape)
+    K_inv, logdet = chol_inv_logdet(K)
+    ok = jnp.isfinite(logdet)
+    for f in escalations:
+        K_inv2, logdet2 = chol_inv_logdet(K + f * JITTER * eye)
+        K_inv = jnp.where(ok[..., None, None], K_inv, K_inv2)
+        logdet = jnp.where(ok, logdet, logdet2)
+        ok = jnp.isfinite(logdet)
+    return K_inv, logdet
+
+
 def kernel_matrix(
     gram: jax.Array, noise: jax.Array, scale: jax.Array
 ) -> jax.Array:

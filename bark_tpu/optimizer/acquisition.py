@@ -34,7 +34,7 @@ from bark_tpu.forest import (
     num_null_trees,
     route_forest,
 )
-from bark_tpu.ops.linalg import JITTER, chol_inv_logdet
+from bark_tpu.ops.linalg import JITTER, robust_chol_inv_logdet
 
 DEFAULT_KAPPA = 1.96  # parity: strategies/tree_kernel.py:45
 
@@ -88,7 +88,7 @@ def build_acquisition(
         K = scale_s * gram + (JITTER + noise_s) * jnp.eye(
             train_x.shape[0], dtype=gram.dtype
         )
-        K_inv, _ = chol_inv_logdet(K)
+        K_inv, _ = robust_chol_inv_logdet(K)  # jitter escalation
         return leaves, K_inv, K_inv @ y
 
     train_leaves, K_inv, K_inv_y = jax.vmap(per_sample)(

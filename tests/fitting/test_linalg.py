@@ -153,3 +153,37 @@ def test_kernel_matrix():
     gram = np.eye(4) * 0.5 + 0.5
     K = np.asarray(kernel_matrix(jnp.asarray(gram), jnp.asarray(0.1), jnp.asarray(2.0)))
     np.testing.assert_allclose(K, 2.0 * gram + (1e-6 + 0.1) * np.eye(4), rtol=1e-6)
+
+
+def test_robust_chol_escalates_jitter_on_singular_input():
+    """A singular K fails the plain factorization (NaNs) but the escalated
+    jitter recovers a finite, accurate inverse."""
+    from bark_tpu.ops.linalg import chol_inv_logdet, robust_chol_inv_logdet
+
+    n = 8
+    u = jnp.asarray(np.random.default_rng(0).normal(size=(n, 1)), jnp.float32)
+    K = (u @ u.T).astype(jnp.float32)  # rank-1: exactly singular
+    _, logdet_plain = chol_inv_logdet(K)
+    assert not np.isfinite(float(logdet_plain))
+    K_inv, logdet = robust_chol_inv_logdet(K)
+    assert np.isfinite(float(logdet))
+    assert np.isfinite(np.asarray(K_inv)).all()
+    # the recovered inverse solves the escalated system accurately
+    from bark_tpu.ops.linalg import JITTER
+
+    K_j = K + 1e2 * JITTER * jnp.eye(n, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(K_inv @ K_j), np.eye(n), atol=5e-2
+    )
+
+
+def test_robust_chol_matches_plain_on_healthy_input():
+    from bark_tpu.ops.linalg import chol_inv_logdet, robust_chol_inv_logdet
+
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(6, 6))
+    K = jnp.asarray(A @ A.T + 0.5 * np.eye(6), jnp.float32)
+    K_inv_p, logdet_p = chol_inv_logdet(K)
+    K_inv_r, logdet_r = robust_chol_inv_logdet(K)
+    np.testing.assert_array_equal(np.asarray(K_inv_p), np.asarray(K_inv_r))
+    assert float(logdet_p) == float(logdet_r)
