@@ -134,7 +134,18 @@ if __name__ == "__main__":
     parser.add_argument("-c", "--benchmark-config", type=Path, required=True)
     parser.add_argument("-m", "--model-config", type=Path, required=True)
     parser.add_argument("-o", "--output", type=Path, default=Path("results"))
+    parser.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax platform (e.g. cpu); the axon plugin sets the "
+        "jax_platforms *config*, so the env var alone cannot override it",
+    )
     args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     with open(args.benchmark_config) as f:
         benchmark_config = yaml.safe_load(f)
