@@ -144,3 +144,40 @@ def evaluate_acquisition(
         acq.K_inv_y,
     )  # (S, B)
     return jnp.mean(per_sample_lcb, axis=0)
+
+
+def evaluate_acquisition_sharded(
+    acq: AcquisitionState,
+    candidates: jax.Array,
+    feat_types: jax.Array,
+    mesh: jax.sharding.Mesh,
+    max_depth: int = 16,
+    kappa: float = DEFAULT_KAPPA,
+    axis_name: str = "candidates",
+) -> jax.Array:
+    """``evaluate_acquisition`` with the candidate batch sharded over a mesh.
+
+    At production scale (S = chains x samples posterior states, N past the
+    32-bucket) scoring dominates the BO iteration; candidates are
+    embarrassingly parallel, so each device scores its block against the
+    replicated acquisition state — no collectives in the hot path, a single
+    device-sharded result out. Scores are identical to the single-device
+    evaluation (tested on the 8-device virtual mesh).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis_name]
+    assert candidates.shape[0] % n_dev == 0, "candidate batch must divide mesh"
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    def score_block(cands_block, ft):
+        return evaluate_acquisition(acq, cands_block, ft, max_depth, kappa)
+
+    return score_block(candidates, feat_types)

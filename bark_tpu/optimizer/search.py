@@ -56,6 +56,7 @@ from bark_tpu.optimizer.acquisition import (
     DEFAULT_KAPPA,
     AcquisitionState,
     evaluate_acquisition,
+    evaluate_acquisition_sharded,
 )
 
 
@@ -496,6 +497,7 @@ def propose(
     rng: np.random.Generator | None = None,
     constraints=None,
     seeds: np.ndarray | None = None,
+    mesh=None,
 ) -> tuple[np.ndarray, float]:
     """Optimize the acquisition; returns (proposal ordinal point, acq value).
 
@@ -503,7 +505,8 @@ def propose(
     -> leaf center), with the MIP replaced by batched sampled search. Domain
     constraints are enforced by penalty during the search and exactly at the
     centering step. ``seeds`` (K, D) warm-starts round 0 — the analogue of
-    the reference's MIP warm start (opt_model.py:120-164).
+    the reference's MIP warm start (opt_model.py:120-164). Pass ``mesh`` (a
+    1-D ``candidates`` mesh) to shard candidate scoring across chips.
     """
     rng = rng or np.random.default_rng()
     constraints = domain.constraints if constraints is None else constraints
@@ -516,8 +519,15 @@ def propose(
     if seeds is not None and len(seeds):
         k = min(len(seeds), num_candidates)
         cands = cands.at[:k].set(jnp.asarray(seeds[:k], jnp.float32))
-    scores = evaluate_acquisition(acq, cands, feat_types, max_depth, kappa)
-    scores = _penalize(scores, cands, constraints, keys)
+
+    def score(batch):
+        if mesh is not None:
+            return evaluate_acquisition_sharded(
+                acq, batch, feat_types, mesh, max_depth, kappa
+            )
+        return evaluate_acquisition(acq, batch, feat_types, max_depth, kappa)
+
+    scores = _penalize(score(cands), cands, constraints, keys)
 
     _, best_idx = jax.lax.top_k(-scores, top_k)
     elites, elite_scores = cands[best_idx], scores[best_idx]
@@ -528,10 +538,7 @@ def propose(
         children = _mutate(
             k_mut, elites, bounds_ord, feat_types, num_candidates, sigma
         )
-        child_scores = evaluate_acquisition(
-            acq, children, feat_types, max_depth, kappa
-        )
-        child_scores = _penalize(child_scores, children, constraints, keys)
+        child_scores = _penalize(score(children), children, constraints, keys)
         pool = jnp.concatenate([elites, children])
         pool_scores = jnp.concatenate([elite_scores, child_scores])
         _, best_idx = jax.lax.top_k(-pool_scores, top_k)

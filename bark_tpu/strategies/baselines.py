@@ -6,9 +6,9 @@ Parity targets:
     one-hot-relaxed to boxes — here with a native JAX RBF GP (the reference
     wraps BoFire/BoTorch SoboStrategy) and an LCB acquisition optimized by
     random search + local refinement, rounding back through the domain.
-  - SMACStrategy (strategies/smac.py:27-96): guarded import in the reference
-    too (smac is not even in its pyproject deps) — surfaced as an
-    informative error here.
+  - SMACStrategy (strategies/smac.py:27-96): ConfigSpace conversion +
+    tell/ask replay through the SMAC3 HPO facade; import-guarded exactly as
+    in the reference (smac is not even in its pyproject deps).
   - BARTGridStrategy (strategies/bart_grid.py:18-92): requires pymc-bart;
     gated identically.
 """
@@ -44,13 +44,23 @@ def _relax_bounds(domain: Domain) -> tuple[np.ndarray, list[tuple[int, int]]]:
 
 
 class RelaxedGPStrategy:
-    """Continuous-relaxation RBF-GP LCB baseline (RelaxedSobo analogue)."""
+    """Continuous-relaxation RBF-GP LCB baseline (RelaxedSobo analogue).
+
+    Hyperparameters (per-dimension lengthscales, outputscale, noise) are
+    fitted by Adam on the exact MLL each ``ask`` — the honest counterpart of
+    the reference's ``fit_gpytorch_mll``-fitted BoTorch GP (relaxed_sobo.py
+    wraps SoboStrategy, whose SingleTaskGP is MLL-fitted). Set
+    ``fit_hypers=False`` for the round-1 fixed-lengthscale behavior.
+    """
 
     def __init__(self, domain: Domain, seed: int = 0, kappa: float = 1.96,
-                 num_candidates: int = 2048):
+                 num_candidates: int = 2048, fit_hypers: bool = True,
+                 fit_steps: int = 150):
         self.domain = domain
         self.kappa = kappa
         self.num_candidates = num_candidates
+        self.fit_hypers = fit_hypers
+        self.fit_steps = fit_steps
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.key(seed)
         self.bounds_relax, self.blocks = _relax_bounds(domain)
@@ -88,6 +98,45 @@ class RelaxedGPStrategy:
             self.X = np.vstack([self.X, X_new])
             self.y = np.concatenate([self.y, y_new])
 
+    def _fit_hypers(self, Z, y_std, ls0):
+        """Adam on the exact MLL over (log lengthscales, log scale, log noise)."""
+        import optax
+
+        n = Z.shape[0]
+
+        def neg_mll(p):
+            ls = jnp.exp(p["log_ls"])
+            scale = jnp.exp(p["log_scale"])
+            noise = jnp.exp(p["log_noise"])
+            d = (Z[:, None, :] - Z[None, :, :]) / ls
+            K = scale * jnp.exp(-0.5 * jnp.sum(d * d, axis=-1))
+            K = K + (noise + 1e-6) * jnp.eye(n)
+            L = jnp.linalg.cholesky(K)
+            a = jax.scipy.linalg.solve_triangular(L, y_std, lower=True)
+            return jnp.sum(a * a) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+        params = {
+            "log_ls": jnp.log(ls0),
+            "log_scale": jnp.asarray(0.0),
+            "log_noise": jnp.asarray(jnp.log(0.1)),
+        }
+        opt = optax.adam(0.05)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state):
+            loss, grads = jax.value_and_grad(neg_mll)(params)
+            updates, state = opt.update(grads, state)
+            return optax.apply_updates(params, updates), state, loss
+
+        for _ in range(self.fit_steps):
+            params, state, _ = step(params, state)
+        return (
+            jnp.exp(params["log_ls"]),
+            float(jnp.exp(params["log_scale"])),
+            float(jnp.exp(params["log_noise"])),
+        )
+
     def ask(self, candidate_count: int = 1) -> np.ndarray:
         if self.y is None or len(self.y) < 2:
             return self.domain.sample(candidate_count, self._rng)
@@ -97,12 +146,15 @@ class RelaxedGPStrategy:
 
         span = self.bounds_relax[:, 1] - self.bounds_relax[:, 0]
         ls = jnp.asarray(np.maximum(span, 1e-3) * 0.3)
+        scale, noise = 1.0, 1e-4
+        if self.fit_hypers:
+            ls, scale, noise = self._fit_hypers(Z, y_std, ls)
 
         def rbf(a, b):
             d = (a[:, None, :] - b[None, :, :]) / ls
-            return jnp.exp(-0.5 * jnp.sum(d * d, axis=-1))
+            return scale * jnp.exp(-0.5 * jnp.sum(d * d, axis=-1))
 
-        K = rbf(Z, Z) + 1e-4 * jnp.eye(Z.shape[0])
+        K = rbf(Z, Z) + (noise + 1e-6) * jnp.eye(Z.shape[0])
         L = jnp.linalg.cholesky(K)
         alpha = jax.scipy.linalg.cho_solve((L, True), y_std)
 
@@ -117,7 +169,7 @@ class RelaxedGPStrategy:
         Kc = rbf(cands, Z)
         mu = Kc @ alpha
         v = jax.scipy.linalg.solve_triangular(L, Kc.T, lower=True)
-        var = jnp.maximum(1.0 - jnp.sum(v * v, axis=0), 1e-9)
+        var = jnp.maximum(scale - jnp.sum(v * v, axis=0), 1e-9)
         lcb = mu - self.kappa * jnp.sqrt(var)
         best = np.asarray(cands[jnp.argmin(lcb)])[None, :]
         return self._from_relaxed(best)
@@ -128,18 +180,126 @@ class _Unavailable:
         raise RuntimeError(f"Strategy {name} unavailable: {reason}")
 
 
+class SMACStrategy:
+    """SMAC3 HPO-facade baseline wrapper.
+
+    Parity: strategies/smac.py:27-96 — domain features become a ConfigSpace
+    (Float/Integer/Categorical), observed experiments are replayed into the
+    optimizer via ``smac.tell`` with one seed per config, and ``ask`` pulls
+    one suggested configuration. ``predict`` returns zeros like the
+    reference's dummy ``_predict``. smac stays an optional dependency
+    (guarded import, as in the reference — it is absent from the reference's
+    own pyproject too).
+    """
+
+    def __init__(self, domain: Domain, seed: int = 0, n_trials: int = 100):
+        try:
+            import ConfigSpace as cs
+            from smac import HyperparameterOptimizationFacade, Scenario
+        except ImportError as e:
+            raise RuntimeError(
+                "SMACStrategy requires the 'smac' package (not installed; "
+                "the reference also treats it as optional)"
+            ) from e
+        self._cs = cs
+        self.domain = domain
+        self.seed = seed
+        self._rng = np.random.default_rng(seed)
+        self.X = None
+        self.y = None
+        self._told = set()
+
+        space = cs.ConfigurationSpace(seed=seed)
+        for f in domain.inputs:
+            if isinstance(f, CategoricalInput):
+                space.add(cs.Categorical(name=f.key, items=list(f.categories)))
+            elif isinstance(f, IntegerInput):
+                space.add(
+                    cs.Integer(name=f.key, bounds=(int(f.bounds[0]), int(f.bounds[1])))
+                )
+            else:
+                space.add(
+                    cs.Float(
+                        name=f.key, bounds=(float(f.bounds[0]), float(f.bounds[1]))
+                    )
+                )
+        self.configspace = space
+        scenario = Scenario(space, deterministic=True, n_trials=n_trials)
+        self.smac = HyperparameterOptimizationFacade(
+            scenario,
+            lambda x, seed=0: 0.0,  # dummy objective: driven via tell/ask
+            initial_design=HyperparameterOptimizationFacade.get_initial_design(
+                scenario, n_configs=1
+            ),
+            intensifier=HyperparameterOptimizationFacade.get_intensifier(
+                scenario, max_config_calls=1
+            ),
+            overwrite=True,
+        )
+
+    def _config_from_row(self, row: np.ndarray):
+        values = {}
+        for i, f in enumerate(self.domain.inputs):
+            if isinstance(f, CategoricalInput):
+                values[f.key] = f.categories[int(round(row[i]))]
+            elif isinstance(f, IntegerInput):
+                values[f.key] = int(round(row[i]))
+            else:
+                values[f.key] = float(row[i])
+        return self._cs.Configuration(self.configspace, values=values)
+
+    def _replay(self):
+        from smac.runhistory.dataclasses import TrialInfo, TrialValue
+
+        for row, y_val in zip(self.X, self.y):
+            key = row.tobytes()
+            if key in self._told:
+                continue
+            trial = TrialInfo(self._config_from_row(row), seed=self.seed)
+            if trial not in self.smac.runhistory:
+                self.smac.tell(trial, TrialValue(float(y_val)), save=False)
+            self._told.add(key)
+
+    def tell(self, X, y) -> None:
+        self.X = self.domain.transform(X)
+        self.y = np.asarray(y, np.float64).reshape(-1)
+        self._replay()
+
+    def add(self, X_new, y_new) -> None:
+        X_new = self.domain.transform(X_new)
+        y_new = np.asarray(y_new, np.float64).reshape(-1)
+        if self.X is None:
+            self.X, self.y = X_new, y_new
+        else:
+            self.X = np.vstack([self.X, X_new])
+            self.y = np.concatenate([self.y, y_new])
+        self._replay()
+
+    def has_sufficient_experiments(self) -> bool:
+        return self.y is not None and len(self.y) >= 1
+
+    def ask(self, candidate_count: int = 1) -> np.ndarray:
+        assert candidate_count == 1, "SMAC only supports single candidates"
+        info = self.smac.ask()
+        cfg = dict(info.config)
+        row = np.zeros((len(self.domain.inputs),), np.float32)
+        for i, f in enumerate(self.domain.inputs):
+            v = cfg[f.key]
+            if isinstance(f, CategoricalInput):
+                row[i] = f.categories.index(v)
+            else:
+                row[i] = float(v)
+        return row[None, :]
+
+    def predict(self, X) -> tuple[np.ndarray, np.ndarray]:
+        """Dummy predictions (parity: strategies/smac.py:87-89)."""
+        n = len(next(iter(X.values()))) if isinstance(X, dict) else len(X)
+        return np.zeros((n, 1)), np.zeros((n, 1))
+
+
 def smac_strategy(domain: Domain, **kwargs):
     """Parity: strategies/smac.py:19-24 guards on the smac import too."""
-    try:
-        import smac  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "SMACStrategy requires the 'smac' package (not installed; the "
-            "reference also treats it as optional)"
-        ) from e
-    raise NotImplementedError(
-        "smac is importable but the wrapper is not implemented in this build"
-    )
+    return SMACStrategy(domain, **kwargs)
 
 
 class GridUCBStrategy:

@@ -105,5 +105,28 @@ if __name__ == "__main__":
     parser.add_argument("--platform", default=None)
     parser.add_argument("--chains-per-device", type=int, default=8)
     parser.add_argument("--num-steps", type=int, default=20)
+    parser.add_argument("--out", default=None, help="write results JSON here")
+    parser.add_argument(
+        "--note", default="", help="free-text provenance note stored in --out"
+    )
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="initialize jax.distributed from env (multi-host runs)",
+    )
     args = parser.parse_args()
-    main(args.platform, args.chains_per_device, args.num_steps)
+    if args.distributed:
+        from bark_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed()
+    results = main(args.platform, args.chains_per_device, args.num_steps)
+    if args.out:
+        payload = {
+            "note": args.note,
+            "platform": args.platform or "default",
+            "chains_per_device": args.chains_per_device,
+            "num_steps": args.num_steps,
+            "results": results,
+        }
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)

@@ -154,3 +154,36 @@ def test_sharded_smc_matches_single_device_schedule():
     w = np.exp(np.asarray(shd.log_weights))
     np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-4)
     assert shd.model.noise.shape == (16,)
+
+
+def test_sharded_acquisition_scores_match():
+    """Candidate-sharded acquisition evaluation == single-device scores."""
+    from bark_tpu.models.surrogate import BARKSurrogate
+    from bark_tpu.optimizer.acquisition import (
+        build_acquisition,
+        evaluate_acquisition,
+        evaluate_acquisition_sharded,
+    )
+
+    bench = map_benchmark("TreeFunction", dim=3, m=5, function_seed=1)
+    rng = np.random.default_rng(0)
+    X = bench.domain.sample(16, rng)
+    y = bench.f(X)
+    params = SamplerParams(
+        warmup_steps=10, num_samples=4, steps_per_sample=2,
+        num_chains=2, num_trees=5,
+    )
+    sur = BARKSurrogate(bench.domain, params, seed=0)
+    sur.fit(X, y)
+    ft = jnp.asarray(bench.domain.feature_types())
+    tx, ty = sur.train_data
+    acq = build_acquisition(
+        sur.model, tx, ty, ft, params.max_depth, train_mask=sur.train_mask
+    )
+    cands = jnp.asarray(bench.domain.sample(64, rng))
+    mesh = Mesh(np.array(jax.devices()[:R]), ("candidates",))
+    s_single = evaluate_acquisition(acq, cands, ft, params.max_depth)
+    s_shard = evaluate_acquisition_sharded(acq, cands, ft, mesh, params.max_depth)
+    np.testing.assert_allclose(
+        np.asarray(s_shard), np.asarray(s_single), rtol=1e-5, atol=1e-6
+    )

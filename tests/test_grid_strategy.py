@@ -4,6 +4,7 @@ Parity targets: strategies/bart_grid.py:41-58 (grid reparam-UCB),
 surrogates/bart.py:54-66 (function_samples), BoFire SOBOL fallback sampling.
 """
 
+import jax.numpy as jnp
 import numpy as np
 
 from bark_tpu.benchmarks.tree_function import TreeFunction
@@ -105,3 +106,57 @@ def test_grid_ucb_prefers_low_posterior_mean_region():
     strategy.tell(X, y)
     cand = strategy.ask(1)
     assert abs(float(cand[0, 0]) - 0.25) < 0.2
+
+
+def test_smac_strategy_body_or_guarded():
+    """SMACStrategy: full tell/ask wrapper when smac is installed, an
+    informative error otherwise (parity: strategies/smac.py:19-24)."""
+    import pytest
+
+    from bark_tpu.benchmarks import map_benchmark
+    from bark_tpu.strategies.baselines import smac_strategy
+
+    bench = map_benchmark("TreeFunction", dim=2, m=5, function_seed=1)
+    try:
+        import smac  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="smac"):
+            smac_strategy(bench.domain)
+        return
+    strat = smac_strategy(bench.domain, seed=0)
+    rng = np.random.default_rng(0)
+    X = bench.domain.sample(4, rng)
+    strat.tell(X, bench.f(X))
+    x = strat.ask(1)
+    assert x.shape == (1, bench.domain.dim)
+
+
+def test_relaxed_gp_fits_lengthscales():
+    """With MLL fitting on, the relaxed GP recovers that only x_0 matters
+    (fitted lengthscale for the dead dimension grows much larger)."""
+    from bark_tpu.domain import ContinuousInput, Domain
+    from bark_tpu.strategies.baselines import RelaxedGPStrategy
+
+    dom = Domain([
+        ContinuousInput("x_0", (0.0, 1.0)),
+        ContinuousInput("x_1", (0.0, 1.0)),
+    ])
+    rng = np.random.default_rng(0)
+    X = dom.sample(40, rng)
+    y = np.sin(8.0 * X[:, 0])  # x_1 is a dead dimension
+    strat = RelaxedGPStrategy(dom, seed=0, fit_steps=200)
+    strat.tell(X, y)
+    Z = jnp.asarray(strat._to_relaxed(strat.X))
+    y_std = jnp.asarray((y - y.mean()) / y.std(), jnp.float32)
+    span = strat.bounds_relax[:, 1] - strat.bounds_relax[:, 0]
+    ls0 = jnp.asarray(np.maximum(span, 1e-3) * 0.3)
+    ls, scale, noise = strat._fit_hypers(Z, y_std, ls0)
+    assert float(ls[1]) > 2.0 * float(ls[0]), (
+        f"dead dim lengthscale {float(ls[1])} should exceed active "
+        f"{float(ls[0])}"
+    )
+    assert noise < 0.5
+    # and the strategy still proposes in-domain points
+    x = strat.ask(1)
+    assert x.shape == (1, 2)
+    assert (x >= 0).all() and (x <= 1).all()
