@@ -309,10 +309,12 @@ class GridUCBStrategy:
     Sobol points, posterior-predictive function draws, Wilson et al. 2018
     (Eq 7) reparameterized LCB for minimization
     ``mean_s(-mu + kappa*sqrt(pi/2)*|y_s - mu|)``, argmax over the grid.
-    The reference runs this over a PyMC-BART surrogate (unavailable here);
-    any surrogate exposing ``function_samples`` works — default is the
-    fully-Bayesian BARK surrogate, whose sum-of-trees posterior is the
-    GP-kernelized counterpart of BART's.
+    The reference runs this over a PyMC-BART surrogate; any surrogate
+    exposing ``function_samples`` works — the BARTGrid registry entry
+    pairs it with the native :class:`bark_tpu.models.bart.BARTSurrogate`
+    (true parity), and the default here is the fully-Bayesian BARK
+    surrogate, whose sum-of-trees posterior is the GP-kernelized
+    counterpart of BART's.
     """
 
     def __init__(self, domain: Domain, surrogate=None, seed: int = 0,
@@ -370,7 +372,10 @@ class GridUCBStrategy:
 
 
 def bart_grid_strategy(domain: Domain, seed: int = 0, **kwargs):
-    """BARTGrid entry point: the reference wraps pymc-bart (unavailable
-    here); the native grid-UCB driver over the BARK posterior is the
-    drop-in equivalent (strategies/bart_grid.py:18-92)."""
-    return GridUCBStrategy(domain, seed=seed, **kwargs)
+    """BARTGrid entry point: grid-UCB over the native BART posterior
+    (bark_tpu.fitting.bart Gibbs sampler), matching the reference's
+    BARTGridStrategy-over-pymc-bart (strategies/bart_grid.py:18-92)."""
+    from bark_tpu.models.bart import BARTSurrogate
+
+    sur = BARTSurrogate(domain, kwargs.pop("bart_params", None), seed=seed)
+    return GridUCBStrategy(domain, surrogate=sur, seed=seed, **kwargs)

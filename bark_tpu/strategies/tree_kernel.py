@@ -162,7 +162,13 @@ def make_strategy(name: str, domain: Domain, seed: int = 0, **kwargs):
         return TreeKernelStrategy(domain, surrogate=sur, seed=seed, **kwargs)
     if name == "Random":
         return RandomStrategy(domain, seed=seed)
-    if name in ("BARTGrid", "GridUCB"):
+    if name in ("BART", "BARTGrid"):
+        from bark_tpu.models.bart import BARTSurrogate
+        from bark_tpu.strategies.baselines import GridUCBStrategy
+
+        sur = BARTSurrogate(domain, kwargs.pop("bart_params", None), seed=seed)
+        return GridUCBStrategy(domain, surrogate=sur, seed=seed, **kwargs)
+    if name == "GridUCB":
         from bark_tpu.strategies.baselines import GridUCBStrategy
 
         return GridUCBStrategy(domain, seed=seed, **kwargs)

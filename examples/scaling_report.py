@@ -1,14 +1,26 @@
-"""Chain-scaling efficiency report over a device mesh.
+"""Chain-scaling report over a device mesh.
 
-Measures sampler throughput (full MCMC steps/s) at 1, 2, 4, ... devices with
-a fixed per-device chain count (weak scaling) and reports efficiency vs the
-single-device rate — the BASELINE.md >=80% multi-host scaling-efficiency
-metric, runnable on a virtual CPU mesh
-(XLA_FLAGS=--xla_force_host_platform_device_count=8) or a real TPU slice.
+Two measurements, both runnable on a virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8) or a real TPU slice:
+
+1. **Weak scaling** — sampler throughput (full MCMC steps/s) at 1, 2, 4, ...
+   devices with a fixed per-device chain count, efficiency vs the
+   single-device rate. This is the BASELINE.md >=80% multi-host target —
+   but it is only *meaningful on real chips*: on a virtual CPU mesh every
+   "device" shares the host's physical cores, so weak-scaling efficiency
+   collapses to core contention (a 2-core host cannot run 8 devices' worth
+   of compute 8x faster). The numbers are still recorded for provenance.
+
+2. **Sharding overhead** (fixed total chains) — the same total chain count
+   run unsharded on 1 device vs shard_mapped over n devices. The sampler
+   step has zero cross-chip communication (chains are embarrassingly
+   parallel; only diagnostics psum), so on real hardware weak scaling is
+   bounded by this overhead, which *is* honestly measurable on a virtual
+   mesh: same FLOPs, same cores, only the SPMD partitioning differs.
 
 Usage:
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python examples/scaling_report.py --platform cpu
+        python examples/scaling_report.py --platform cpu --out SCALING.json
 """
 
 from __future__ import annotations
@@ -20,12 +32,13 @@ sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
 
 import argparse
 import json
+import os
 import time
 
 import jax
 
 
-def main(platform: str | None, chains_per_device: int, num_steps: int):
+def _setup(platform: str | None):
     if platform:
         jax.config.update("jax_platforms", platform)
 
@@ -33,10 +46,6 @@ def main(platform: str | None, chains_per_device: int, num_steps: int):
     import numpy as np
 
     from bark_tpu.benchmarks import map_benchmark
-    from bark_tpu.fitting.params import SamplerParams
-    from bark_tpu.fitting.sampler import BARKModel
-    from bark_tpu.forest import create_empty_forest
-    from bark_tpu.parallel.sharding import chain_mesh, shard_model, sharded_run_sampler
 
     bench = map_benchmark("TreeFunction", dim=5, m=50, function_seed=1)
     rng = np.random.default_rng(0)
@@ -46,57 +55,87 @@ def main(platform: str | None, chains_per_device: int, num_steps: int):
     Xj, yj = jnp.asarray(X), jnp.asarray(y, jnp.float32)
     bounds = jnp.asarray(bench.domain.bounds("bitmask"))
     ft = jnp.asarray(bench.domain.feature_types())
+    return Xj, yj, bounds, ft
 
-    n_avail = len(jax.devices())
-    device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_avail]
 
-    params = SamplerParams(
-        warmup_steps=0,
-        num_samples=num_steps,
-        steps_per_sample=1,
-        num_trees=50,
+def _rate(num_chains: int, n_dev: int, num_steps: int, data) -> float:
+    """steps/s of a (num_chains)-chain run over an n_dev-device mesh."""
+    import jax.numpy as jnp
+
+    from bark_tpu.fitting.params import SamplerParams
+    from bark_tpu.fitting.sampler import BARKModel
+    from bark_tpu.forest import create_empty_forest
+    from bark_tpu.parallel.sharding import (
+        chain_mesh,
+        shard_model,
+        sharded_run_sampler,
     )
 
+    Xj, yj, bounds, ft = data
+    params = SamplerParams(
+        warmup_steps=0, num_samples=num_steps, steps_per_sample=1, num_trees=50
+    )
+    mesh = chain_mesh(n_dev)
+    forest = create_empty_forest(
+        params.num_trees, params.node_limit, batch_shape=(num_chains,)
+    )
+    model = shard_model(
+        BARKModel(
+            forest,
+            jnp.full((num_chains,), 0.1, jnp.float32),
+            jnp.ones((num_chains,), jnp.float32),
+        ),
+        mesh,
+    )
+    out = sharded_run_sampler(
+        jax.random.key(0), model, Xj, yj, bounds, ft, params, mesh
+    )
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.perf_counter()
+    out = sharded_run_sampler(
+        jax.random.key(1), model, Xj, yj, bounds, ft, params, mesh
+    )
+    jax.block_until_ready(out)
+    return num_chains * num_steps / (time.perf_counter() - t0)
+
+
+def weak_scaling(chains_per_device: int, num_steps: int, data) -> list[dict]:
+    n_avail = len(jax.devices())
     results = []
     base_rate = None
-    for n_dev in device_counts:
-        num_chains = chains_per_device * n_dev
-        mesh = chain_mesh(n_dev)
-        forest = create_empty_forest(
-            params.num_trees, params.node_limit, batch_shape=(num_chains,)
-        )
-        model = shard_model(
-            BARKModel(
-                forest,
-                jnp.full((num_chains,), 0.1, jnp.float32),
-                jnp.ones((num_chains,), jnp.float32),
-            ),
-            mesh,
-        )
-        # compile + warm
-        out = sharded_run_sampler(
-            jax.random.key(0), model, Xj, yj, bounds, ft, params, mesh
-        )
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = sharded_run_sampler(
-            jax.random.key(1), model, Xj, yj, bounds, ft, params, mesh
-        )
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        rate = num_chains * num_steps / dt
+    for n_dev in (d for d in (1, 2, 4, 8, 16, 32) if d <= n_avail):
+        rate = _rate(chains_per_device * n_dev, n_dev, num_steps, data)
         if base_rate is None:
             base_rate = rate
-        eff = rate / (base_rate * n_dev)
         results.append(
             {
                 "devices": n_dev,
-                "chains": num_chains,
+                "chains": chains_per_device * n_dev,
                 "steps_per_s": round(rate, 1),
-                "efficiency": round(eff, 3),
+                "efficiency": round(rate / (base_rate * n_dev), 3),
             }
         )
-        print(json.dumps(results[-1]))
+        print("weak:", json.dumps(results[-1]))
+    return results
+
+
+def sharding_overhead(total_chains: int, num_steps: int, data) -> list[dict]:
+    n_avail = len(jax.devices())
+    results = []
+    base_rate = None
+    for n_dev in (d for d in (1, 2, 4, 8) if d <= min(n_avail, total_chains)):
+        rate = _rate(total_chains, n_dev, num_steps, data)
+        if base_rate is None:
+            base_rate = rate
+        results.append(
+            {
+                "devices": n_dev,
+                "chains": total_chains,
+                "steps_per_s": round(rate, 1),
+                "vs_unsharded": round(rate / base_rate, 3),
+            }
+        )
+        print("fixed:", json.dumps(results[-1]))
     return results
 
 
@@ -104,6 +143,7 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--platform", default=None)
     parser.add_argument("--chains-per-device", type=int, default=8)
+    parser.add_argument("--total-chains", type=int, default=16)
     parser.add_argument("--num-steps", type=int, default=20)
     parser.add_argument("--out", default=None, help="write results JSON here")
     parser.add_argument(
@@ -119,14 +159,36 @@ if __name__ == "__main__":
         from bark_tpu.parallel.distributed import initialize_distributed
 
         initialize_distributed()
-    results = main(args.platform, args.chains_per_device, args.num_steps)
+    data = _setup(args.platform)
+    weak = weak_scaling(args.chains_per_device, args.num_steps, data)
+    fixed = sharding_overhead(args.total_chains, args.num_steps, data)
     if args.out:
         payload = {
             "note": args.note,
             "platform": args.platform or "default",
-            "chains_per_device": args.chains_per_device,
+            "host_cores": os.cpu_count(),
+            "devices": len(jax.devices()),
             "num_steps": args.num_steps,
-            "results": results,
+            "weak_scaling": {
+                "chains_per_device": args.chains_per_device,
+                "caveat": (
+                    "virtual CPU devices share host cores; weak-scaling "
+                    "efficiency on this host measures core contention, not "
+                    "chip scaling — see sharding_overhead for the "
+                    "hardware-independent component"
+                ),
+                "results": weak,
+            },
+            "sharding_overhead": {
+                "total_chains": args.total_chains,
+                "meaning": (
+                    "same total work unsharded vs shard_mapped over n "
+                    "devices; the sampler step has no cross-chip "
+                    "communication, so real-chip weak-scaling efficiency "
+                    "is bounded below by vs_unsharded"
+                ),
+                "results": fixed,
+            },
         }
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=1)
