@@ -117,3 +117,64 @@ def load_surrogate(path, surrogate):
     )
     surrogate.train_mask = jnp.asarray(extra["train_mask"])
     return surrogate
+
+
+def save_bart_surrogate(path, surrogate) -> None:
+    """Checkpoint a fitted BART surrogate (samples + chain state + scaler).
+
+    Everything BART needs to resume is arrays: posterior draws, per-chain
+    final states (for warm-started refits), the min-max y scaler, the
+    calibrated noise-prior rate, the padded train data and its mask, and
+    the RNG key.
+    """
+    s, st = surrogate.samples, surrogate._state
+    train_x, train_y = surrogate.train_data
+    arrays = {
+        "samples_packed": np.asarray(s.packed),
+        "samples_leaf_values": np.asarray(s.leaf_values),
+        "samples_sigma2": np.asarray(s.sigma2),
+        "state_packed": np.asarray(st.packed),
+        "state_leaf_values": np.asarray(st.leaf_values),
+        "state_leaves": np.asarray(st.leaves),
+        "state_f_total": np.asarray(st.f_total),
+        "state_sigma2": np.asarray(st.sigma2),
+        "scaler_y_min": np.asarray(surrogate.scaler.y_min),
+        "scaler_range": np.asarray(surrogate.scaler.range),
+        "noise_rate": np.asarray(surrogate._noise_rate),
+        "train_x": np.asarray(train_x),
+        "train_y": np.asarray(train_y),
+        "train_mask": np.asarray(surrogate.train_mask),
+        "rng_key": np.asarray(jax.random.key_data(surrogate._key)),
+    }
+    _atomic_savez(path, **arrays)
+
+
+def load_bart_surrogate(path, surrogate):
+    """Restore a BART checkpoint into a freshly-constructed surrogate."""
+    import jax.numpy as jnp
+
+    from bark_tpu.fitting.bart import BARTSamples, BARTState
+
+    with np.load(path) as data:
+        surrogate.samples = BARTSamples(
+            packed=jnp.asarray(data["samples_packed"]),
+            leaf_values=jnp.asarray(data["samples_leaf_values"]),
+            sigma2=jnp.asarray(data["samples_sigma2"]),
+        )
+        surrogate._state = BARTState(
+            packed=jnp.asarray(data["state_packed"]),
+            leaf_values=jnp.asarray(data["state_leaf_values"]),
+            leaves=jnp.asarray(data["state_leaves"]),
+            f_total=jnp.asarray(data["state_f_total"]),
+            sigma2=jnp.asarray(data["state_sigma2"]),
+        )
+        surrogate.scaler.y_min = float(data["scaler_y_min"])
+        surrogate.scaler.range = float(data["scaler_range"])
+        surrogate._noise_rate = jnp.asarray(data["noise_rate"])
+        surrogate.train_data = (
+            jnp.asarray(data["train_x"]),
+            jnp.asarray(data["train_y"]),
+        )
+        surrogate.train_mask = jnp.asarray(data["train_mask"])
+        surrogate._key = jax.random.wrap_key_data(np.asarray(data["rng_key"]))
+    return surrogate

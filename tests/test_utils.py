@@ -67,6 +67,38 @@ def test_surrogate_checkpoint_resume(tmp_path):
     assert fresh.is_fitted
 
 
+def test_bart_surrogate_checkpoint_resume(tmp_path):
+    from bark_tpu.fitting.bart import BARTParams
+    from bark_tpu.models.bart import BARTSurrogate
+    from bark_tpu.utils.checkpoint import (
+        load_bart_surrogate,
+        save_bart_surrogate,
+    )
+
+    bench = map_benchmark("TreeFunction", dim=2, m=6, function_seed=1)
+    rng = np.random.default_rng(0)
+    X = bench.domain.sample(15, rng)
+    y = bench.f(X)
+    params = BARTParams(
+        warmup_steps=10, num_samples=4, num_trees=6, node_limit=16
+    )
+    sur = BARTSurrogate(bench.domain, params, seed=0).fit(X, y)
+    Xte = bench.domain.sample(5, np.random.default_rng(9))
+    mu_before, std_before = sur.predict(Xte)
+
+    path = tmp_path / "bart.npz"
+    save_bart_surrogate(path, sur)
+    fresh = BARTSurrogate(bench.domain, params, seed=0)
+    load_bart_surrogate(path, fresh)
+    mu_after, std_after = fresh.predict(Xte)
+    np.testing.assert_allclose(mu_before, mu_after, rtol=1e-6)
+    np.testing.assert_allclose(std_before, std_after, rtol=1e-6)
+
+    # resumed surrogate warm-starts its next fit from the restored chains
+    fresh.fit(X, y)
+    assert fresh.is_fitted
+
+
 def test_gelman_rubin_detects_disagreement():
     rng = np.random.default_rng(0)
     same = rng.normal(size=(4, 200))
