@@ -166,7 +166,10 @@ def make_strategy(name: str, domain: Domain, seed: int = 0, **kwargs):
         from bark_tpu.models.bart import BARTSurrogate
         from bark_tpu.strategies.baselines import GridUCBStrategy
 
-        sur = BARTSurrogate(domain, kwargs.pop("bart_params", None), seed=seed)
+        # default to the native BART posterior; honor an explicit surrogate
+        sur = kwargs.pop("surrogate", None) or BARTSurrogate(
+            domain, kwargs.pop("bart_params", None), seed=seed
+        )
         return GridUCBStrategy(domain, surrogate=sur, seed=seed, **kwargs)
     if name == "GridUCB":
         from bark_tpu.strategies.baselines import GridUCBStrategy

@@ -50,6 +50,16 @@ def build_surrogate(model_config: dict, domain, seed: int):
         from bark_tpu.models.leafgp import LeafGPSurrogate
 
         return LeafGPSurrogate(domain, seed=seed, **model_params)
+    if name == "BART":
+        from bark_tpu.fitting.bart import BARTParams
+        from bark_tpu.models.bart import BARTSurrogate
+
+        keys = BARTParams.__dataclass_fields__.keys()
+        return BARTSurrogate(
+            domain,
+            BARTParams(**{k: v for k, v in model_params.items() if k in keys}),
+            seed=seed,
+        )
     raise KeyError(name)
 
 
@@ -103,8 +113,14 @@ if __name__ == "__main__":
     parser.add_argument("-s", "--seed", type=int, default=0)
     parser.add_argument("-c", "--benchmark-config", type=Path, required=True)
     parser.add_argument("-m", "--model-config", type=Path, required=True)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu)")
     parser.add_argument("-o", "--output", type=Path, default=Path("results"))
     args = parser.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     with open(args.benchmark_config) as f:
         benchmark_config = yaml.safe_load(f)
     with open(args.model_config) as f:
