@@ -63,6 +63,46 @@ def forest_predict(
     return jax.vmap(one_sample)(flat, noise, scale)
 
 
+@functools.partial(jax.jit, static_argnames=("max_depth", "maxiter"))
+def forest_predict_cg(
+    forest: Forest,
+    noise: jax.Array,
+    scale: jax.Array,
+    train_x: jax.Array,
+    train_y: jax.Array,
+    candidates: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = 16,
+    train_mask: jax.Array | None = None,
+    maxiter: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """Matrix-free sibling of :func:`forest_predict` for large N.
+
+    Same (mu, var) semantics per posterior sample, but every kernel
+    product is factored through the leaf one-hot matrix and solved by
+    preconditioned CG (ops/iterative.py) — no N x N array is ever
+    materialized, and row-sharded inputs data-parallelize the solve.
+    Use when the training set outgrows the dense path's O(S * N^2)
+    memory; at bucket-sized N the dense Cholesky is faster.
+    """
+    from bark_tpu.ops.iterative import cg_posterior
+
+    m, node_limit = forest.num_trees, forest.node_limit
+    flat = jax.tree.map(lambda a: a.reshape(-1, m, node_limit), forest)
+    noise = noise.reshape(-1).astype(jnp.float32)
+    scale = scale.reshape(-1).astype(jnp.float32)
+
+    def one_sample(tree_sample: Forest, noise_s, scale_s):
+        train_leaves = route_forest(tree_sample, train_x, feat_types, max_depth)
+        cand_leaves = route_forest(tree_sample, candidates, feat_types, max_depth)
+        return cg_posterior(
+            train_leaves, cand_leaves, train_y, noise_s, scale_s,
+            node_limit, mask=train_mask, maxiter=maxiter,
+        )
+
+    return jax.vmap(one_sample)(flat, noise, scale)
+
+
 def mixture_of_gaussians_as_normal(
     mu: jax.Array, var: jax.Array
 ) -> tuple[jax.Array, jax.Array]:

@@ -26,7 +26,11 @@ from bark_tpu.fitting.params import SamplerParams
 from bark_tpu.fitting.prior import sample_forest_prior, sample_noise_prior
 from bark_tpu.fitting.sampler import BARKModel, run_bark_sampler
 from bark_tpu.forest import Forest, create_empty_forest
-from bark_tpu.models.gp import forest_predict, mixture_of_gaussians_as_normal
+from bark_tpu.models.gp import (
+    forest_predict,
+    forest_predict_cg,
+    mixture_of_gaussians_as_normal,
+)
 
 
 def bucket_size(n: int, bucket: int = 32) -> int:
@@ -35,9 +39,19 @@ def bucket_size(n: int, bucket: int = 32) -> int:
 
 
 class _BARKSurrogateBase:
-    def __init__(self, domain: Domain, params: SamplerParams):
+    #: training-set size past which ``predict`` switches from the dense
+    #: Cholesky posterior to the matrix-free CG path (forest_predict_cg) —
+    #: the dense path holds S x N x N kernels, the CG path never builds
+    #: anything N x N.
+    cg_threshold: int = 2048
+
+    def __init__(self, domain: Domain, params: SamplerParams,
+                 predict_backend: str = "auto"):
+        if predict_backend not in ("auto", "dense", "cg"):
+            raise ValueError(f"unknown predict_backend: {predict_backend!r}")
         self.domain = domain
         self.params = params
+        self.predict_backend = predict_backend
         self.scaler = Standardize()
         self.model: BARKModel | None = None
         self.train_data: tuple[jax.Array, jax.Array] | None = None
@@ -61,7 +75,12 @@ class _BARKSurrogateBase:
         """
         candidates = jnp.asarray(self.domain.transform(X))
         train_x, train_y = self.train_data
-        mu, var = forest_predict(
+        use_cg = self.predict_backend == "cg" or (
+            self.predict_backend == "auto"
+            and train_x.shape[0] > self.cg_threshold
+        )
+        predict_fn = forest_predict_cg if use_cg else forest_predict
+        mu, var = predict_fn(
             self.model.forest,
             self.model.noise,
             self.model.scale,
@@ -128,8 +147,10 @@ class _BARKSurrogateBase:
 class BARKSurrogate(_BARKSurrogateBase):
     """Fully-Bayesian BARK surrogate (MCMC over forest + hyperparameters)."""
 
-    def __init__(self, domain: Domain, params: SamplerParams | None = None, seed: int = 0):
-        super().__init__(domain, params or SamplerParams())
+    def __init__(self, domain: Domain, params: SamplerParams | None = None,
+                 seed: int = 0, predict_backend: str = "auto"):
+        super().__init__(domain, params or SamplerParams(),
+                         predict_backend=predict_backend)
         self._key = jax.random.key(seed)
         self._warmed_up = False
 
@@ -188,11 +209,12 @@ class BARKPriorSurrogate(_BARKSurrogateBase):
         params: SamplerParams | None = None,
         num_samples: int = 5,
         seed: int = 0,
+        predict_backend: str = "auto",
     ):
         params = params or SamplerParams(
             gamma_prior_shape=2.5, gamma_prior_rate=9.0
         )
-        super().__init__(domain, params)
+        super().__init__(domain, params, predict_backend=predict_backend)
         self.num_samples = num_samples
         self._key = jax.random.key(seed)
 
