@@ -105,6 +105,15 @@ class SamplerParams:
     # carries the augmented [K_inv | v_y] so one fused (N,2)@(2,N+1)
     # matmul updates both. Measured slightly worse (5417 vs 5513) — XLA
     # already overlaps the v_y matvec; the concat adds real work.
+    # "lowrank" never writes K_inv in the scan at all: the correction is
+    # accumulated as low-rank (P, Q) factors against the frozen start-of-
+    # step K0^-1 (the refresh discards the scan's K_inv anyway), trading
+    # the per-move (N,N) write+select for two (N,2m) reads. Full-bench
+    # A/B on TPU v5e (64 chains, m=50): N=512 1001 vs 971 (+3%), N=200
+    # neutral, N=50 5369 vs 5502 (-2.4%) — the write/select fuses better
+    # than the traffic model predicts, so the win only appears once N^2
+    # dominates. Same math up to float association (accepts match in
+    # f64, tested; not bit-identical in f32).
     scan_style: str = "plain"
 
     _ALLOWED_MODES = {
@@ -112,7 +121,7 @@ class SamplerParams:
         "subspace_mode": ("walk", "carry"),
         "hot_style": ("walk_select", "scatter", "select", "doubling"),
         "refresh_style": ("pair", "batched", "onesolve"),
-        "scan_style": ("plain", "aug"),
+        "scan_style": ("plain", "aug", "lowrank"),
     }
 
     def __post_init__(self):

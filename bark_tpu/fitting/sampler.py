@@ -473,7 +473,73 @@ def _tree_moves_rank1(
         cur_mll = jnp.where(accept, new_mll, cur_mll)
         return (A, K_logdet, quad, cur_mll), accept
 
-    if params.scan_style == "aug":
+    def tree_move_lowrank(carry, inputs):
+        # Deferred-update variant: K^-1 is NEVER written inside the scan.
+        # The refresh at the end of step() rebuilds K^-1 from the Gram
+        # matrix anyway (the scan's K_inv output is discarded), so the
+        # only thing later moves need is K^-1_cur times their update pair.
+        # Maintain the correction in low-rank factors (P, Q) with
+        #   K^-1_cur = K0^-1 - P Q^T,   V_j = K0^-1 W_j - P (Q^T W_j),
+        # appending the accepted move's two columns (P += V Minv, Q += V).
+        # Per move this trades the (N,N) write + select for two (N,2m)
+        # reads — a large HBM-traffic win once N^2 dominates (N >= ~200);
+        # at bucket-sized N the extra ops cost more than they save (the
+        # usual full-bench A/B decides, CLAUDE.md). Same math as
+        # tree_move up to association (not bit-identical; accepts match
+        # in f64, tested).
+        P, Q, K_logdet, v_y, quad, cur_mll = carry
+        W, log_q_prior, log_u, j = inputs
+
+        V = K0_inv @ W - P @ (Q.T @ W)  # (N, 2)
+        G = W.T @ V
+        t = W.T @ v_y
+        A, B, C = G[0, 0], G[1, 1], G[0, 1]
+        denom1 = 1.0 + A
+        detM = denom1 * (B - 1.0) - C * C
+        denom2 = -detM / denom1
+        Minv = jnp.array([[B - 1.0, -C], [-C, denom1]], dtype=V.dtype) / detM
+        K_logdet2 = K_logdet + jnp.log(-detM)
+        u = Minv @ t
+        v_y2 = v_y - V @ u
+        quad2 = quad - t @ u
+
+        new_mll = 0.5 * (-quad2 - K_logdet2 + mll_corr)
+        new_mll = jnp.where(denom2 > eps, new_mll, -jnp.inf)
+        log_alpha = log_q_prior + beta * (new_mll - cur_mll)
+        accept = log_u <= jnp.minimum(log_alpha, 0.0)
+
+        # append columns 2j:2j+2 on accept (zero columns are inert)
+        two = jnp.where(accept, V @ Minv, jnp.zeros_like(V))
+        col = (2 * j).astype(jnp.int32)
+        P = jax.lax.dynamic_update_slice(P, two, (jnp.int32(0), col))
+        Q = jax.lax.dynamic_update_slice(
+            Q, jnp.where(accept, V, jnp.zeros_like(V)), (jnp.int32(0), col)
+        )
+        K_logdet = jnp.where(accept, K_logdet2, K_logdet)
+        v_y = jnp.where(accept, v_y2, v_y)
+        quad = jnp.where(accept, quad2, quad)
+        cur_mll = jnp.where(accept, new_mll, cur_mll)
+        return (P, Q, K_logdet, v_y, quad, cur_mll), accept
+
+    if params.scan_style == "lowrank":
+        K0_inv = state.kern.K_inv
+        n = K0_inv.shape[0]
+        m2 = 2 * params.num_trees
+        zeros = jnp.zeros((n, m2), dtype=K0_inv.dtype)
+        (P, Q, K_logdet, _, _, cur_mll), accepts = jax.lax.scan(
+            tree_move_lowrank,
+            (zeros, zeros, state.kern.K_logdet, v_y0, quad0, state.mll),
+            (
+                W_all,
+                batch.log_q_prior,
+                jnp.log(batch.u_accept),
+                jnp.arange(params.num_trees, dtype=jnp.int32),
+            ),
+        )
+        # K_inv output is discarded by the rank1 refresh; return the
+        # uncorrected base (never materialize K0^-1 - P Q^T).
+        K_inv = K0_inv
+    elif params.scan_style == "aug":
         A0 = jnp.concatenate([state.kern.K_inv, v_y0[:, None]], axis=1)
         (A, K_logdet, _, cur_mll), accepts = jax.lax.scan(
             tree_move_aug,

@@ -139,6 +139,9 @@ def test_hot_styles_agree_on_trajectory():
         # V (Minv t)) — statistically identical; exact equality holds at
         # these few-step x64 scales
         "aug_scan": dict(scan_style="aug"),
+        # lowrank defers K^-1 updates into (P, Q) factors against the
+        # frozen start-of-step inverse — same association caveat
+        "lowrank_scan": dict(scan_style="lowrank"),
     }
     for name, kw in variants.items():
         params = SamplerParams(
