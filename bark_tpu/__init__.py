@@ -62,6 +62,14 @@ def __getattr__(name):
         from bark_tpu.models.mogp import LeafMOGPSurrogate
 
         return LeafMOGPSurrogate
+    if name == "BARTSurrogate":
+        from bark_tpu.models.bart import BARTSurrogate
+
+        return BARTSurrogate
+    if name == "BARTParams":
+        from bark_tpu.fitting.bart import BARTParams
+
+        return BARTParams
     if name in ("TreeKernelStrategy", "make_strategy", "RandomStrategy"):
         from bark_tpu.strategies import tree_kernel
 
