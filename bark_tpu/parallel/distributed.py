@@ -35,8 +35,10 @@ def initialize_distributed(
     Single-process runs (no coordinator configured, no TPU metadata) are a
     no-op returning False, so library code can call this unconditionally.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized by the launcher
+    # NB: do not call jax.process_count() here — it would initialize the
+    # backend, after which jax.distributed.initialize refuses to run.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1  # already initialized by the launcher
 
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
