@@ -43,7 +43,6 @@ import jax.numpy as jnp
 from bark_tpu.forest import (
     DEFAULT_MAX_DEPTH,
     DEFAULT_NODE_LIMIT,
-    Forest,
     create_empty_forest,
     pack_forest,
     route_tree,

@@ -158,6 +158,56 @@ def route_forest(
     return routed.T  # (m, N) -> (N, m)
 
 
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def route_forest_select(
+    forest: Forest,
+    X: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = DEFAULT_MAX_DEPTH,
+) -> jax.Array:
+    """``route_forest`` lowered as one-hot transition matmuls (big batches).
+
+    The gather-loop walk (:func:`route_tree`) lowers each trip as several
+    dynamic gathers, which carry a large fixed cost on TPU — at acquisition
+    scale (B=4096 candidates x m=50 trees x S samples) routing measured
+    1.16 s of a 1.56 s scoring call. Here every split decision is
+    precomputed with one (B, D) x (D, L) one-hot matmul per tree, and the
+    walk itself advances a one-hot node distribution through per-tree
+    left/right transition matrices:
+
+        next = oh * is_leaf + (oh * dec) @ Lmat + (oh * (1 - dec)) @ Rmat
+
+    — all MXU matmuls, no gathers (the same lesson as the sampler's
+    hot_style="walk_select", CLAUDE.md). Identical results to
+    ``route_forest`` (tested). Forest fields must be ``(m, node_limit)``;
+    returns ``(N, m)`` leaf indices.
+    """
+    m, L = forest.feature.shape
+    b = X.shape[0]
+
+    feat_oh = jax.nn.one_hot(forest.feature, X.shape[1], dtype=X.dtype)
+    xval = jnp.einsum("bd,mld->bml", X, feat_oh)  # (B, m, L)
+    is_cat = (feat_types == FEAT_CAT)[forest.feature]  # (m, L)
+    dec = _split_decision(
+        xval, forest.threshold[None], is_cat[None]
+    ).astype(jnp.float32)  # (B, m, L)
+
+    stay = forest.is_leaf.astype(jnp.float32)[None]  # (1, m, L)
+    Lmat = jax.nn.one_hot(forest.left, L, dtype=jnp.float32)  # (m, L, L)
+    Rmat = jax.nn.one_hot(forest.right, L, dtype=jnp.float32)
+
+    oh0 = jnp.zeros((b, m, L), jnp.float32).at[:, :, 0].set(1.0)
+
+    def body(_, oh):
+        go = oh * (1.0 - stay)
+        left_next = jnp.einsum("bml,mln->bmn", go * dec, Lmat)
+        right_next = jnp.einsum("bml,mln->bmn", go * (1.0 - dec), Rmat)
+        return oh * stay + left_next + right_next
+
+    oh = jax.lax.fori_loop(0, max_depth, body, oh0)
+    return jnp.argmax(oh, axis=-1).astype(jnp.int32)  # (B, m)
+
+
 def leaf_onehot(leaves: jax.Array, node_limit: int, dtype=jnp.float32) -> jax.Array:
     """One-hot of leaf indices over node slots: ``(..., node_limit)``.
 

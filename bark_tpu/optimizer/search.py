@@ -385,22 +385,34 @@ def _constrained_center(
         box = _widen_box(box, domain, eps, is_cat)
         eps *= 10.0
 
-    return best_fallback if best_fallback is not None else _box_center(
-        box, domain, rng
-    )
+    # all retries exhausted: project the least-violating point found onto
+    # the feasible region before conceding (the reference would raise in
+    # Gurobi here; we prefer a feasible point further from the center over
+    # an infeasible one near it)
+    if best_fallback is not None:
+        x = _violation_descent(best_fallback, domain, constraints, is_cat)
+        if is_feasible(constraints, x[None], keys)[0]:
+            return x
+        return best_fallback
+    return _box_center(box, domain, rng)
 
 
 def _margin_violation(
-    constraints, X: np.ndarray, keys: list[str], margin: float
+    constraints, X: np.ndarray, keys: list[str], margin_rel: float
 ) -> np.ndarray:
-    """total_violation with inequality rows tightened by ``margin`` — descent
+    """total_violation with inequality rows tightened per-constraint — descent
     targets (slightly) the strict interior so float32 rounding of the result
-    cannot push it back over the boundary."""
+    cannot push it back over the boundary. The margin scales with each
+    constraint's magnitude (``margin_rel * (|rhs| + 1)``): float32 rounding
+    of x perturbs a constraint of magnitude ~1e6 (PressureVessel's volume)
+    by ~0.1, so any absolute margin is either too loose or too tight
+    somewhere."""
     out = np.zeros(X.shape[0], np.float64)
     for c in constraints:
         try:
             g = np.asarray(c.expr(X, keys), np.float64) - c.rhs
-            out += np.abs(g) if c.is_equality else np.maximum(g + margin, 0.0)
+            m = margin_rel * (abs(float(c.rhs)) + 1.0)
+            out += np.abs(g) if c.is_equality else np.maximum(g + m, 0.0)
         except NotImplementedError:  # NChooseK has no smooth expr
             out += c.violation(X, keys)
     return out
@@ -425,14 +437,11 @@ def _violation_descent(
     bnds = [(float(bounds[i, 0]), float(bounds[i, 1])) for i in free]
 
     x64 = x0.astype(np.float64)  # float32 would swallow the FD steps
-    # interior margin scaled to the constraint magnitudes at x0
-    scale = max(float(total_violation(constraints, x64[None], keys)[0]), 1.0)
-    margin = 1e-6 * scale + 1e-4
 
     def objective(z):
         x = x64.copy()
         x[free] = z
-        return float(_margin_violation(constraints, x[None], keys, margin)[0] ** 2)
+        return float(_margin_violation(constraints, x[None], keys, 1e-6)[0] ** 2)
 
     res = minimize(objective, x64[free], method="L-BFGS-B", bounds=bnds)
     x = x64.copy()
@@ -553,7 +562,34 @@ def propose(
             _leaf_box(acq, x_best, bounds_bitmask, feat_types, max_depth)
         )
         if constraints:
-            return _constrained_center(box, domain, constraints, rng), best_val
+            center = _constrained_center(box, domain, constraints, rng)
+            # Final feasibility gate, judged on the FLOAT32 round-trip of
+            # the point: the centering works in f64 and loves the
+            # constraint boundary (the constrained optimum usually sits
+            # there), but a boundary-exact point flips infeasible under
+            # downstream f32 casts (measured: PressureVessel's 1.3e6-scale
+            # volume constraint moves ~0.1 per f32 ulp of x). Repair with
+            # the margin-targeting violation descent, then feasible
+            # sampling — a constrained ask never proposes an
+            # f32-infeasible candidate while any feasible point is
+            # findable (>=95% feasible-rate target).
+            def f32_ok(x):
+                x32 = np.asarray(x, np.float32).astype(np.float64)
+                return bool(is_feasible(constraints, x32[None], keys)[0])
+
+            if not f32_ok(center):
+                is_cat = np.array(
+                    [isinstance(f, CategoricalInput) for f in domain.inputs],
+                    bool,
+                )
+                x = _violation_descent(
+                    np.asarray(center, np.float64), domain, constraints, is_cat
+                )
+                if f32_ok(x):
+                    center = x
+                else:
+                    center = sample_feasible(domain, 1, rng, constraints)[0]
+            return np.asarray(center, np.float64), best_val
         center = _box_center(box, domain, rng)
         return center, best_val
     return np.asarray(x_best), best_val

@@ -88,6 +88,7 @@ def main(seed: int, benchmark_config: dict, model_config: dict, output: Path):
     with timer("fit"):
         strategy.tell(X, y)
 
+    viols = []
     for itr in range(num_iter):
         with timer("optimize"):
             candidate = strategy.ask(1)
@@ -98,6 +99,7 @@ def main(seed: int, benchmark_config: dict, model_config: dict, output: Path):
         viol = total_violation(
             domain.constraints, candidate.astype(np.float64), domain.input_keys
         )[0]
+        viols.append(float(viol))
         logger.info(
             "iter %d: y=%.4f best=%.4f viol=%.3g fit=%.2fs opt=%.2fs",
             itr, y_new[0], bo_log.best[-1], viol,
@@ -110,10 +112,10 @@ def main(seed: int, benchmark_config: dict, model_config: dict, output: Path):
     with open(output / f"experiments_{tag}.csv", "w", newline="") as f:
         keys = domain.input_keys
         writer = csv.writer(f)
-        writer.writerow([*keys, "y", "best", "fit_s", "optimize_s"])
-        for row, cand in zip(bo_log.as_rows(), bo_log.candidates):
+        writer.writerow([*keys, "y", "best", "viol", "fit_s", "optimize_s"])
+        for row, cand, v in zip(bo_log.as_rows(), bo_log.candidates, viols):
             writer.writerow(
-                [*cand, row["y"], row["best"], row.get("fit", 0.0),
+                [*cand, row["y"], row["best"], v, row.get("fit", 0.0),
                  row.get("optimize", 0.0)]
             )
     merged = {
@@ -121,6 +123,9 @@ def main(seed: int, benchmark_config: dict, model_config: dict, output: Path):
         "benchmark_config": benchmark_config,
         "model_config": model_config,
         "best": bo_log.best[-1] if bo_log.best else float(y.min()),
+        "feasible_proposal_rate": (
+            float(np.mean([v <= 1e-6 for v in viols])) if viols else 1.0
+        ),
     }
     with open(output / f"config_{tag}.yaml", "w") as f:
         yaml.safe_dump(merged, f)

@@ -154,3 +154,29 @@ def test_gram_from_leaves_cross(n, m_pts):
     K = np.asarray(gram_from_leaves(jnp.asarray(leaves1), jnp.asarray(leaves2), 64))
     expect = (leaves1[:, None, :] == leaves2[None, :, :]).mean(axis=-1)
     np.testing.assert_allclose(K, expect, atol=1e-6)
+
+
+def test_route_forest_select_matches_gather_walk():
+    """One-hot transition-matmul routing == the gather-loop walk, on a
+    mixed continuous/categorical prior forest (the acquisition path uses
+    the select form on TPU)."""
+    import jax
+
+    from bark_tpu.benchmarks.tree_function import TreeFunction
+    from bark_tpu.fitting.prior import sample_forest_prior
+    from bark_tpu.forest import route_forest, route_forest_select
+
+    bench = TreeFunction(dim=3, cat_dim=2, num_cat=5, m=12, function_seed=3)
+    ft = jnp.asarray(bench.domain.feature_types())
+    bounds = jnp.asarray(bench.domain.bounds("bitmask"))
+    forest = sample_forest_prior(
+        jax.random.key(5), 12, bounds, ft, num_samples=3, node_limit=32
+    )
+    X = jnp.asarray(
+        bench.domain.sample(257, np.random.default_rng(0)), jnp.float32
+    )
+    for s in range(3):
+        tree = jax.tree.map(lambda a: a[s], forest)
+        a = route_forest(tree, X, ft)
+        b = route_forest_select(tree, X, ft)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
