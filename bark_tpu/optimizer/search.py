@@ -111,6 +111,7 @@ def _mutate(
     return jnp.where(mutate_mask, stepped, base).astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("max_depth",))
 def _leaf_box(
     acq: AcquisitionState,
     x: jax.Array,
@@ -119,6 +120,10 @@ def _leaf_box(
     max_depth: int,
 ) -> jax.Array:
     """Intersection of the subspaces of every leaf x lands in: ``(D, 2)``.
+
+    Jitted as one program: eagerly this is dozens of small dispatches,
+    which cost ~0.85 s/ask through the TPU tunnel (measured; the walk
+    itself runs in ~6 ms).
 
     Parity: the active-area computation in proposals.py:95-117 +
     gbm_model.update_var_bounds — here exact, via the same ``node_subspace``
