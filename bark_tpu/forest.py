@@ -185,8 +185,12 @@ def route_forest_select(
     m, L = forest.feature.shape
     b = X.shape[0]
 
-    feat_oh = jax.nn.one_hot(forest.feature, X.shape[1], dtype=X.dtype)
-    xval = jnp.einsum("bd,mld->bml", X, feat_oh)  # (B, m, L)
+    # one bulk gather, NOT a one-hot matmul: TPU matmuls default to bf16
+    # multiply, which would round the feature VALUES before the threshold
+    # comparison and misroute points near split boundaries (observed as a
+    # silently degraded BO trajectory). The 0/1 transition matmuls below
+    # are bf16-exact; data values must never pass through a matmul here.
+    xval = jnp.take(X, forest.feature, axis=1)  # (B, m, L)
     is_cat = (feat_types == FEAT_CAT)[forest.feature]  # (m, L)
     dec = _split_decision(
         xval, forest.threshold[None], is_cat[None]
