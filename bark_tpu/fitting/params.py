@@ -107,21 +107,24 @@ class SamplerParams:
     # already overlaps the v_y matvec; the concat adds real work.
     # "lowrank" never writes K_inv in the scan at all: the correction is
     # accumulated as low-rank (P, Q) factors against the frozen start-of-
-    # step K0^-1 (the refresh discards the scan's K_inv anyway), trading
-    # the per-move (N,N) write+select for two (N,2m) reads. Full-bench
-    # A/B on TPU v5e (64 chains, m=50): N=512 1001 vs 971 (+3%), N=200
-    # neutral, N=50 5369 vs 5502 (-2.4%) — the write/select fuses better
-    # than the traffic model predicts, so the win only appears once N^2
-    # dominates. Same math up to float association (accepts match in
-    # f64, tested; not bit-identical in f32).
-    scan_style: str = "plain"
+    # step K0^-1 (the refresh discards the scan's K_inv anyway), and the
+    # base products K0^-1 W_j for ALL m moves are one hoisted MXU matmul,
+    # so no move touches an (N,N) operand. Full-bench A/B on TPU v5e
+    # (64 chains, m=50): N=512 1007 vs 971 (+3.7%), N=200 neutral
+    # (2078 vs 2085), N=50 5393 vs 5501 (-2%) — the scan is latency-bound
+    # on per-move op count, so shedding traffic only pays once N^2
+    # dominates (hoisting V0 added just +0.6% over the in-scan read).
+    # Same math up to float association (accepts match in f64, tested;
+    # not bit-identical in f32). "auto" (default) resolves by the padded
+    # N at trace time: lowrank at N >= 256, plain below.
+    scan_style: str = "auto"
 
     _ALLOWED_MODES = {
         "kernel_backend": ("rank1", "chol", "woodbury"),
         "subspace_mode": ("walk", "carry"),
         "hot_style": ("walk_select", "scatter", "select", "doubling"),
         "refresh_style": ("pair", "batched", "onesolve"),
-        "scan_style": ("plain", "aug", "lowrank"),
+        "scan_style": ("plain", "aug", "lowrank", "auto"),
     }
 
     def __post_init__(self):

@@ -484,13 +484,17 @@ def _tree_moves_rank1(
         # Per move this trades the (N,N) write + select for two (N,2m)
         # reads — a large HBM-traffic win once N^2 dominates (N >= ~200);
         # at bucket-sized N the extra ops cost more than they save (the
-        # usual full-bench A/B decides, CLAUDE.md). Same math as
-        # tree_move up to association (not bit-identical; accepts match
-        # in f64, tested).
+        # usual full-bench A/B decides, CLAUDE.md). Because proposals are
+        # hoisted, the base products V0_j = K0^-1 W_j for ALL m moves are
+        # one batched (N,N)@(N,2m) MXU matmul BEFORE the scan, so no move
+        # ever touches an (N,N) operand: per-move traffic is the (N,2m)
+        # P/Q factors only (~5x less than the plain carry at N=512).
+        # Same math as tree_move up to association (not bit-identical;
+        # accepts match in f64, tested).
         P, Q, K_logdet, v_y, quad, cur_mll = carry
-        W, log_q_prior, log_u, j = inputs
+        W, V0, log_q_prior, log_u, j = inputs
 
-        V = K0_inv @ W - P @ (Q.T @ W)  # (N, 2)
+        V = V0 - P @ (Q.T @ W)  # (N, 2)
         G = W.T @ V
         t = W.T @ v_y
         A, B, C = G[0, 0], G[1, 1], G[0, 1]
@@ -521,16 +525,26 @@ def _tree_moves_rank1(
         cur_mll = jnp.where(accept, new_mll, cur_mll)
         return (P, Q, K_logdet, v_y, quad, cur_mll), accept
 
-    if params.scan_style == "lowrank":
+    scan_style = params.scan_style
+    if scan_style == "auto":
+        # padded N is static under jit: pick the measured winner per regime
+        # (full-bench A/B, params.py scan_style notes) — the deferred
+        # low-rank carry wins once the (N,N) write dominates, the plain
+        # carry fuses better at bucket-sized N.
+        scan_style = "lowrank" if state.kern.K_inv.shape[0] >= 256 else "plain"
+    if scan_style == "lowrank":
         K0_inv = state.kern.K_inv
         n = K0_inv.shape[0]
         m2 = 2 * params.num_trees
         zeros = jnp.zeros((n, m2), dtype=K0_inv.dtype)
+        # all m base products in one MXU matmul, hoisted out of the scan
+        V0_all = jnp.einsum("nk,mkt->mnt", K0_inv, W_all)
         (P, Q, K_logdet, _, _, cur_mll), accepts = jax.lax.scan(
             tree_move_lowrank,
             (zeros, zeros, state.kern.K_logdet, v_y0, quad0, state.mll),
             (
                 W_all,
+                V0_all,
                 batch.log_q_prior,
                 jnp.log(batch.u_accept),
                 jnp.arange(params.num_trees, dtype=jnp.int32),
@@ -539,7 +553,7 @@ def _tree_moves_rank1(
         # K_inv output is discarded by the rank1 refresh; return the
         # uncorrected base (never materialize K0^-1 - P Q^T).
         K_inv = K0_inv
-    elif params.scan_style == "aug":
+    elif scan_style == "aug":
         A0 = jnp.concatenate([state.kern.K_inv, v_y0[:, None]], axis=1)
         (A, K_logdet, _, cur_mll), accepts = jax.lax.scan(
             tree_move_aug,

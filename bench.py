@@ -28,7 +28,8 @@ import time
 
 
 def measure(n_train: int, cat_dim: int = 0, num_chains: int = 64,
-            steps_per_call: int = 50, n_calls: int = 5) -> dict:
+            steps_per_call: int = 50, n_calls: int = 5,
+            **sampler_overrides) -> dict:
     """Steady-state full-MCMC steps/s/chip at one (N, domain) configuration.
 
     Two untimed calls first: one to compile + mix the trees from the empty
@@ -60,6 +61,7 @@ def measure(n_train: int, cat_dim: int = 0, num_chains: int = 64,
         steps_per_sample=steps_per_call // 10,
         num_chains=num_chains,
         num_trees=50,
+        **sampler_overrides,
     )
     bounds = jnp.asarray(bench.domain.bounds("bitmask"))
     ft = jnp.asarray(bench.domain.feature_types())

@@ -142,6 +142,9 @@ def test_hot_styles_agree_on_trajectory():
         # lowrank defers K^-1 updates into (P, Q) factors against the
         # frozen start-of-step inverse — same association caveat
         "lowrank_scan": dict(scan_style="lowrank"),
+        # auto resolves to plain at this padded N (< 192) — must be
+        # bit-identical to the reference lowering
+        "auto_scan": dict(scan_style="auto"),
     }
     for name, kw in variants.items():
         params = SamplerParams(
@@ -160,7 +163,7 @@ def test_hot_styles_agree_on_trajectory():
 
     ref = out["scatter"]
     for name in ("walk_select", "select", "select_fused", "doubling",
-                 "doubling_fused", "aug_scan"):
+                 "doubling_fused", "aug_scan", "auto_scan"):
         np.testing.assert_array_equal(
             np.asarray(ref.forest.threshold),
             np.asarray(out[name].forest.threshold),
