@@ -55,12 +55,12 @@ def measure(n_train: int, cat_dim: int = 0, num_chains: int = 64,
     y = bench.f(X)
     y_std = (y - y.mean()) / y.std()
 
+    sampler_overrides.setdefault("num_trees", 50)
     params = SamplerParams(
         warmup_steps=0,
         num_samples=10,
         steps_per_sample=steps_per_call // 10,
         num_chains=num_chains,
-        num_trees=50,
         **sampler_overrides,
     )
     bounds = jnp.asarray(bench.domain.bounds("bitmask"))
