@@ -142,7 +142,7 @@ def test_hot_styles_agree_on_trajectory():
         # lowrank defers K^-1 updates into (P, Q) factors against the
         # frozen start-of-step inverse — same association caveat
         "lowrank_scan": dict(scan_style="lowrank"),
-        # auto resolves to plain at this padded N (< 192) — must be
+        # auto resolves to plain at this padded N (< 256) — must be
         # bit-identical to the reference lowering
         "auto_scan": dict(scan_style="auto"),
     }
@@ -267,4 +267,41 @@ def test_deterministic_given_key():
     np.testing.assert_array_equal(np.asarray(s1.noise), np.asarray(s2.noise))
     np.testing.assert_array_equal(
         np.asarray(s1.forest.threshold), np.asarray(s2.forest.threshold)
+    )
+
+
+def test_auto_scan_resolves_to_lowrank_at_large_n():
+    """scan_style="auto" must dispatch to the deferred low-rank carry once
+    the padded N crosses the threshold (256): same keys => trajectories
+    identical to an explicit scan_style="lowrank" run (exact in x64)."""
+    dom, X, y = make_problem(n=256, seed=6)
+    out = {}
+    for style in ("auto", "lowrank"):
+        params = SamplerParams(
+            warmup_steps=2,
+            num_samples=2,
+            steps_per_sample=2,
+            num_chains=1,
+            num_trees=5,
+            scan_style=style,
+        )
+        forest = create_empty_forest(
+            params.num_trees, params.node_limit, batch_shape=(1,)
+        )
+        model = BARKModel(forest, jnp.full((1,), 0.1), jnp.ones((1,)))
+        out[style] = run_bark_sampler(
+            jax.random.key(5),
+            model,
+            X,
+            y,
+            jnp.asarray(dom.bounds("bitmask")),
+            jnp.asarray(dom.feature_types()),
+            params,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(out["auto"].forest.threshold),
+        np.asarray(out["lowrank"].forest.threshold),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["auto"].noise), np.asarray(out["lowrank"].noise)
     )
