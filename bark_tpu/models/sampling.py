@@ -109,3 +109,25 @@ def nystrom_samples(
     s, m, z = features.shape
     w = jax.random.normal(key, (s, z, num_samples))
     return jnp.einsum("smz,szn->snm", features, w)
+
+
+def fstar_samples_mogp(mogp, X_train, num_fstar: int, rng) -> jnp.ndarray:
+    """Optimum-value samples from a LeafMOGP's target-fidelity posterior.
+
+    The multi-task analogue of :func:`generate_fstar_samples` (the
+    reference's MF-MES consumer, information_based_fidelity.py:16-36, is
+    stale — it imports a BARKMOGP that does not exist). Standardized-y
+    space; eigenvalue-clamped joint draws over the training sites at task 0,
+    minimized per draw. Returns ``(num_fstar,)`` numpy.
+    """
+    import numpy as np
+
+    mu, cov = mogp._posterior_joint(
+        X_train, np.zeros(len(X_train), np.int64)
+    )
+    mu, cov = np.asarray(mu, np.float64), np.asarray(cov, np.float64)
+    w, V = np.linalg.eigh(0.5 * (cov + cov.T))
+    half = V * np.sqrt(np.clip(w, 1e-12, None))
+    eps = rng.standard_normal((num_fstar, len(mu)))
+    draws = mu[None, :] + eps @ half.T
+    return draws.min(axis=1)

