@@ -16,13 +16,15 @@ implementations:
     axis. The per-round weight statistics (ESS, adaptive next-beta
     bisection, evidence increments) are computed from an ``all_gather`` of
     the (N_p,) per-particle scalars — identical on every device, so the
-    tempering schedule and resample decisions are bit-equal to the
-    single-device code by construction (the tests assert this on the
-    collective pieces). Systematic resampling is distributed: global
-    ancestor indices are computed replicated, then each device gathers its
-    block's ancestors from an ``all_gather`` of the particle state (the
-    simple island-style exchange; at N_p scalars per round the collective
-    cost is dominated by the one state gather on resample rounds).
+    tempering schedule and resample decisions are replicated by
+    construction, and the tests assert the sharded run reproduces the
+    single-device schedule bit-for-bit and the particle state to float32
+    tolerance. Systematic resampling is distributed: global ancestor
+    indices are computed replicated, and the full particle state is
+    all-gathered ONLY inside the ``lax.cond`` taken on resample rounds
+    (island-style exchange); non-resample rounds communicate nothing but
+    the (N_p,) scalar weights, so memory sharding is preserved where it
+    matters.
 """
 
 from __future__ import annotations
@@ -185,14 +187,19 @@ def run_smc_sharded(
             my_anc = jax.lax.dynamic_slice_in_dim(
                 ancestors_g, i * local, local
             )
-            # island-style exchange: gather the population, index my block
-            chains_g = jax.tree.map(gather, chains)
-            resampled = jax.tree.map(lambda a: a[my_anc], chains_g)
-            chains = jax.tree.map(
-                lambda new, old: jnp.where(do_resample, new, old),
-                resampled,
-                chains,
-            )
+
+            # island-style exchange, but ONLY on resample rounds: the full
+            # population gather is the one expensive collective in the loop
+            # (the whole point of sharding 1024+ particles is that they do
+            # NOT fit one device), so it lives inside a lax.cond. The
+            # predicate is replicated (computed from gathered scalars), so
+            # every device takes the same branch and the collective cannot
+            # deadlock; non-resample rounds ship only (N_p,) scalars.
+            def _exchange(c):
+                c_g = jax.tree.map(gather, c)
+                return jax.tree.map(lambda a: a[my_anc], c_g)
+
+            chains = jax.lax.cond(do_resample, _exchange, lambda c: c, chains)
             log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w)
 
             def mutate(c, kk):

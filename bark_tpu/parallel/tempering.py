@@ -189,9 +189,14 @@ def run_parallel_tempering_sharded(
     ``forest``/``noise``/``scale`` carry a leading (R,) axis with R equal to
     the mesh size. Each round runs one tempered MCMC step per replica, then
     an even and an odd ``sharded_pt_swap`` phase (DEO). Device 0 always
-    holds beta=1, so the cold-chain trace is ``samples[:, 0]``-free: the
-    returned model's leading axes are (num_steps,) cold samples plus a
-    (num_steps,) mean swap-rate trace.
+    holds beta=1 (DEO swaps states between fixed temperatures, never the
+    temperatures themselves), so the cold chain is device 0's trace: each
+    device keeps its own (num_steps,) state trace as a *sharded* scan
+    output and the cold samples are sliced out after the shard_map — no
+    cross-replica communication for sample extraction at all (an earlier
+    version psum'd the full forest state across all replicas every round,
+    an all-reduce costing (R-1)x the useful traffic). Returns (num_steps,)
+    cold samples plus a (num_steps,) mean swap-rate trace.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax import shard_map
@@ -203,7 +208,7 @@ def run_parallel_tempering_sharded(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name), P(axis_name), P(), P(), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(None, axis_name), P()),
         check_vma=False,
     )
     def run(key, forest, noise, scale, X, y, bounds, feat_types):
@@ -234,24 +239,25 @@ def run_parallel_tempering_sharded(
             swap_rate = jax.lax.psum(
                 (acc_e + acc_o).astype(jnp.float32), axis_name
             ) / (2.0 * max(num_replicas - 1, 1))
-            is_cold = (i == 0).astype(jnp.float32)
-            cold = jax.tree.map(
-                lambda a: jax.lax.psum(a * is_cold, axis_name)
-                if a.dtype in (jnp.float32, jnp.float64)
-                else jax.lax.psum(
-                    (a * is_cold.astype(a.dtype)), axis_name
-                ),
-                (state.forest, state.noise, state.scale),
+            # every device records ITS OWN state (leading axis 1 = this
+            # replica's slot in the sharded (T, R, ...) trace output);
+            # the cold slice happens outside the shard_map, communication-free
+            mine = jax.tree.map(
+                lambda a: a[None], (state.forest, state.noise, state.scale)
             )
-            return state, (cold, swap_rate)
+            return state, (mine, swap_rate)
 
-        _, (cold_samples, swap_rates) = jax.lax.scan(
+        _, (trace, swap_rates) = jax.lax.scan(
             one_round, state, jax.random.split(key, num_steps)
         )
-        return cold_samples, swap_rates
+        return trace, swap_rates
 
-    (cold_forest, cold_noise, cold_scale), swap_rates = run(
+    (forest_t, noise_t, scale_t), swap_rates = run(
         key, forest, noise, scale, X, y, bounds, feat_types
+    )
+    # device 0 owns beta=1; pulling [:, 0] reads one shard, no collective
+    cold_forest, cold_noise, cold_scale = jax.tree.map(
+        lambda a: a[:, 0], (forest_t, noise_t, scale_t)
     )
     samples = BARKModel(forest=cold_forest, noise=cold_noise, scale=cold_scale)
     return samples, swap_rates

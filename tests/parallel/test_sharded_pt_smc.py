@@ -156,6 +156,46 @@ def test_sharded_smc_matches_single_device_schedule():
     assert shd.model.noise.shape == (16,)
 
 
+def test_smc_state_gather_sits_inside_resample_conditional():
+    """Scale-honesty (VERDICT r2 #3): the full particle-state all-gathers
+    must execute only on resample rounds. Asserted on the compiled HLO:
+    every all-gather of a rank>=2 tensor (the forest/kernel state; the
+    per-round weight statistics are rank-1 scalars) lives in a computation
+    invoked by a ``conditional`` op, not in the unconditional scan body."""
+    import re
+
+    X, y, bounds, ft = problem(n=16)
+    params = SamplerParams(num_trees=4, node_limit=16, max_depth=4)
+    mesh = Mesh(np.array(jax.devices()[:R]), ("particles",))
+
+    def fn(k):
+        return run_smc_sharded(
+            k, X, y, bounds, ft, params, mesh,
+            num_particles=R, num_rounds=2, mutation_steps=1,
+        )
+
+    hlo = jax.jit(fn).lower(jax.random.key(0)).compile().as_text()
+    lines = hlo.splitlines()
+    comp = None
+    state_gather_comps = set()
+    n_state_gathers = 0
+    for ln in lines:
+        if ln.rstrip().endswith("{"):
+            comp = ln.strip().split()[0].lstrip("%")
+        if "all-gather" in ln and comp is not None:
+            shape = re.search(r"(f32|s32|pred|u32|bf16)\[([\d,]*)\]", ln)
+            if shape and "," in shape.group(2):  # rank >= 2 -> state tensor
+                state_gather_comps.add(comp)
+                n_state_gathers += 1
+    assert n_state_gathers > 0, "expected state all-gathers in the program"
+    cond_lines = [ln for ln in lines if "conditional(" in ln]
+    for c in state_gather_comps:
+        assert any(c in ln for ln in cond_lines), (
+            f"state all-gather in computation {c!r} is not under a "
+            f"conditional — it would run every round"
+        )
+
+
 def test_sharded_acquisition_scores_match():
     """Candidate-sharded acquisition evaluation == single-device scores."""
     from bark_tpu.models.surrogate import BARKSurrogate
