@@ -132,6 +132,12 @@ def run_reference(domain, X, y, X_test, params_dict, seed):
     stats = {
         "noise_mean": noises.mean(axis=1),  # per chain
         "leaves_per_tree": _leaves_per_tree_ref(nodes),
+        "leaf_depth_mean": _leaf_depth_moments(
+            nodes["is_leaf"], nodes["active"], nodes["depth"]
+        )[0],
+        "leaf_depth_var": _leaf_depth_moments(
+            nodes["is_leaf"], nodes["active"], nodes["depth"]
+        )[1],
         "wall_s": wall,
     }
     return stats, mu_s, var_s, noises
@@ -143,6 +149,19 @@ def _leaves_per_tree_ref(nodes):
     active = nodes["active"].astype(np.float64)
     per_tree = (is_leaf * active).sum(axis=-1)  # (chains, samples, m)
     return per_tree.mean(axis=(1, 2))  # per chain
+
+
+def _leaf_depth_moments(is_leaf, active, depth):
+    """Posterior depth-distribution moments per chain: mean and variance of
+    active-leaf depth (weights every leaf equally across samples/trees)."""
+    w = (np.asarray(is_leaf, np.float64) * np.asarray(active, np.float64))
+    d = np.asarray(depth, np.float64)
+    axes = tuple(range(1, w.ndim))  # all but the chain axis
+    total = w.sum(axis=axes)
+    mean = (w * d).sum(axis=axes) / total
+    shape = (-1,) + (1,) * (w.ndim - 1)
+    var = (w * (d - mean.reshape(shape)) ** 2).sum(axis=axes) / total
+    return mean, var
 
 
 # --- bark_tpu side ---------------------------------------------------------
@@ -213,9 +232,14 @@ def run_bark_tpu(domain, X, y, X_test, params_dict, seed):
     is_leaf = np.asarray(samples.forest.is_leaf, np.float64)
     active = np.asarray(samples.forest.active, np.float64)
     per_tree = (is_leaf * active).sum(axis=-1)
+    depth_mean, depth_var = _leaf_depth_moments(
+        is_leaf, active, np.asarray(samples.forest.depth)
+    )
     stats = {
         "noise_mean": np.asarray(samples.noise).mean(axis=1),
         "leaves_per_tree": per_tree.mean(axis=(1, 2)),
+        "leaf_depth_mean": depth_mean,
+        "leaf_depth_var": depth_var,
         "wall_s": wall,
     }
     return stats, mu_s, var_s, np.asarray(samples.noise)
@@ -283,6 +307,16 @@ def run_workload(name, n_train, n_test, params_dict, seed=0):
             "leaves per tree",
             chain_summary(ref_stats["leaves_per_tree"]),
             chain_summary(tpu_stats["leaves_per_tree"]),
+        ),
+        compare(
+            "leaf depth mean",
+            chain_summary(ref_stats["leaf_depth_mean"]),
+            chain_summary(tpu_stats["leaf_depth_mean"]),
+        ),
+        compare(
+            "leaf depth variance",
+            chain_summary(ref_stats["leaf_depth_var"]),
+            chain_summary(tpu_stats["leaf_depth_var"]),
         ),
     ]
     # predictive quality: compare point values (shared test set); NLPD/MSE
