@@ -1,11 +1,13 @@
 """Benchmark workload suite.
 
 Parity: src/bofire_mixed/benchmarks/__init__.py:23-59 — the same registry
-names resolve through ``map_benchmark``. Benchmarks whose reference data
-blobs are absent from the checkout (SVRBench, CCOBench — see the reference's
-.MISSING_LARGE_BLOBS) are stubbed with informative errors rather than
-silently dropped; DatasetBenchmark is live with a pluggable data source
-(DataFrame/CSV, or the ucimlrepo fetcher when importable).
+names resolve through ``map_benchmark``. SVRBench runs on the real CSV when
+present and otherwise on a synthetic slice-localization-shaped substitute
+(svr_bench.py — the blob is absent from the reference checkout itself, see
+its .MISSING_LARGE_BLOBS); CCOBench stays stubbed with an informative error
+(its powermap blobs are unsubstitutable); DatasetBenchmark is live with a
+pluggable data source (DataFrame/CSV, or the ucimlrepo fetcher when
+importable).
 """
 
 from bark_tpu.benchmarks.base import BENCHMARK_MAP, Benchmark, map_benchmark
@@ -20,6 +22,7 @@ from bark_tpu.benchmarks import mixed as _mixed  # noqa: F401
 from bark_tpu.benchmarks import multi_fidelity as _multi_fidelity  # noqa: F401
 from bark_tpu.benchmarks import pest as _pest  # noqa: F401
 from bark_tpu.benchmarks import reaction_emulator as _reaction  # noqa: F401
+from bark_tpu.benchmarks import svr_bench as _svr_bench  # noqa: F401
 from bark_tpu.benchmarks import tree_function as _tree_function  # noqa: F401
 from bark_tpu.benchmarks import unconstrained as _unconstrained  # noqa: F401
 
@@ -33,13 +36,8 @@ def _unavailable(name: str, reason: str):
     BENCHMARK_MAP[name] = _Missing
 
 
-# parity with the reference checkout's own gaps:
-_unavailable(
-    "SVRBench",
-    "slice-localization data blob is absent from the reference checkout "
-    "(.MISSING_LARGE_BLOBS); supply the CSV and use DatasetBenchmark-style "
-    "loading to enable",
-)
+# parity with the reference checkout's own gaps (SVRBench is now live via
+# a synthetic-data fallback, bark_tpu/benchmarks/svr_bench.py):
 _unavailable(
     "CCOBench",
     "cellular-coverage powermap blobs are absent from the reference checkout "

@@ -100,3 +100,29 @@ def test_max_bandit_candidates():
     assert X.shape == (10, 28)
     y = bench.f_by_idx(idx)
     assert np.isfinite(y).all()
+
+
+def test_svr_bench_synthetic_fallback():
+    """SVRBench (svr_bench.py:28-155) runs end-to-end on the synthetic
+    substitute: full pipeline (constant filter, importance ranking, 5
+    splits) + SVR scoring, feature mask genuinely changes the objective."""
+    bench = map_benchmark(
+        "SVRBench",
+        num_features_to_optimize=10,
+        num_features_to_keep=10,
+        num_samples=400,
+    )
+    assert bench.data_source == "synthetic"
+    dom = bench.domain
+    assert dom.dim == 13  # 3 continuous hypers + 10 binary mask dims
+
+    rng = np.random.default_rng(0)
+    X = dom.sample(3, rng)
+    y = bench.f(X)
+    assert y.shape == (3,) and np.isfinite(y).all() and (y > 0).all()
+
+    # all-zeros mask -> constant predictor; all-ones mask should beat it
+    base = np.array([[-1.0, 0.0, 0.0] + [0.0] * 10])
+    full = np.array([[-1.0, 0.0, 0.0] + [1.0] * 10])
+    y0, y1 = bench.f(base)[0], bench.f(full)[0]
+    assert y1 < y0
