@@ -379,3 +379,76 @@ def bart_grid_strategy(domain: Domain, seed: int = 0, **kwargs):
 
     sur = BARTSurrogate(domain, kwargs.pop("bart_params", None), seed=seed)
     return GridUCBStrategy(domain, surrogate=sur, seed=seed, **kwargs)
+
+
+class EntmootStrategy:
+    """Entmoot (tree-ensemble + MIP acquisition) baseline wrapper.
+
+    Parity: the reference's study registry wires BoFire's EntingStrategy
+    with solver_options TimeLimit=60, MIPGap=0.05
+    (examples/bayes_opt/bark_study_strategy.py:84-89). Entmoot embeds a
+    LightGBM ensemble in a Gurobi MIP — an external proprietary-solver
+    dependency, so (like SMAC in the reference's own pyproject) it stays
+    optional: a guarded import that raises an informative error when the
+    package is absent, and a thin ask/tell adapter over our Domain encoding
+    when it is present.
+    """
+
+    def __init__(self, domain: Domain, seed: int = 0,
+                 time_limit: int = 60, mip_gap: float = 0.05):
+        try:
+            from entmoot import Enting, GurobiOptimizer, ProblemConfig
+        except ImportError as e:
+            raise RuntimeError(
+                "EntmootStrategy requires the 'entmoot' package (and a "
+                "Gurobi license), neither installed here; the reference "
+                "treats it as an optional study baseline too "
+                "(bark_study_strategy.py:84-89)"
+            ) from e
+        self.domain = domain
+        self.seed = seed
+        self._rng = np.random.default_rng(seed)
+        self.X = None
+        self.y = None
+
+        pc = ProblemConfig(rnd_seed=seed)
+        for f in domain.inputs:
+            if isinstance(f, CategoricalInput):
+                pc.add_feature("categorical", tuple(f.categories), name=f.key)
+            elif isinstance(f, IntegerInput):
+                pc.add_feature(
+                    "integer", (int(f.bounds[0]), int(f.bounds[1])), name=f.key
+                )
+            else:
+                pc.add_feature(
+                    "real", (float(f.bounds[0]), float(f.bounds[1])), name=f.key
+                )
+        pc.add_min_objective(name="y")
+        self._pc = pc
+        self._enting = Enting(pc, params={"unc_params": {"dist_metric": "l1"}})
+        self._solver_params = {"TimeLimit": time_limit, "MIPGap": mip_gap,
+                               "LogToConsole": 0}
+        self._opt_cls = GurobiOptimizer
+
+    def tell(self, X, y) -> None:
+        self.X = np.asarray(X, np.float64)
+        self.y = np.asarray(y, np.float64).reshape(-1)
+
+    def add(self, X_new, y_new) -> None:
+        X_new = np.atleast_2d(np.asarray(X_new, np.float64))
+        y_new = np.asarray(y_new, np.float64).reshape(-1)
+        if self.X is None:
+            self.tell(X_new, y_new)
+        else:
+            self.tell(np.vstack([self.X, X_new]),
+                      np.concatenate([self.y, y_new]))
+
+    def ask(self, n: int = 1) -> np.ndarray:
+        if self.X is None or len(self.y) < 2:
+            return self.domain.sample(n, self._rng)
+        self._enting.fit(self.X, self.y.reshape(-1, 1))
+        opt = self._opt_cls(self._pc, params=self._solver_params)
+        res = opt.solve(self._enting)
+        x = np.asarray(res.opt_point, np.float64).reshape(1, -1)
+        return np.vstack([x] + [self.domain.sample(1, self._rng)
+                                for _ in range(n - 1)])

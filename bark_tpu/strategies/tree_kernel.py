@@ -219,6 +219,10 @@ def make_strategy(name: str, domain: Domain, seed: int = 0, **kwargs):
         from bark_tpu.strategies.baselines import smac_strategy
 
         return smac_strategy(domain, **kwargs)
+    if name == "Entmoot":
+        from bark_tpu.strategies.baselines import EntmootStrategy
+
+        return EntmootStrategy(domain, **kwargs)
     raise KeyError(f"Unknown strategy: {name}")
 
 

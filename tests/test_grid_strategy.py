@@ -160,3 +160,27 @@ def test_relaxed_gp_fits_lengthscales():
     x = strat.ask(1)
     assert x.shape == (1, 2)
     assert (x >= 0).all() and (x <= 1).all()
+
+
+def test_entmoot_strategy_body_or_guarded():
+    """EntmootStrategy: tell/ask wrapper when entmoot is installed, an
+    informative error otherwise (parity: the reference's registry hook,
+    examples/bayes_opt/bark_study_strategy.py:84-89)."""
+    import pytest
+
+    from bark_tpu.benchmarks import map_benchmark
+    from bark_tpu.strategies.tree_kernel import make_strategy
+
+    bench = map_benchmark("TreeFunction", dim=2, m=5, function_seed=1)
+    try:
+        import entmoot  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="entmoot"):
+            make_strategy("Entmoot", bench.domain)
+        return
+    strat = make_strategy("Entmoot", bench.domain, seed=0)
+    rng = np.random.default_rng(0)
+    X = bench.domain.sample(4, rng)
+    strat.tell(X, bench.f(X))
+    x = strat.ask(1)
+    assert x.shape == (1, bench.domain.dim)
