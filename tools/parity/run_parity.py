@@ -368,14 +368,35 @@ DEFAULT_PARAMS = dict(
 
 FAST_PARAMS = {**DEFAULT_PARAMS, "warmup_steps": 30, "num_samples": 10, "num_chains": 4}
 
+# the reference's own example-study budget (examples/bayes_opt/
+# example_model_config.yaml:2-8) at the reference surrogate's default
+# m=50 trees (data_models/surrogates/bark.py:25) — the z-test's power
+# scales with the budget, so this is the high-power evidence tier
+# (VERDICT r2 #5).
+PAPER_PARAMS = {
+    **DEFAULT_PARAMS,
+    "warmup_steps": 1000,
+    "num_samples": 4,
+    "steps_per_sample": 50,
+    "num_chains": 4,
+    "num_trees": 50,
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument(
+        "--paper",
+        action="store_true",
+        help="reference example-config budget: 1000 warmup + 4x50, 4 chains, m=50",
+    )
     ap.add_argument("--out", default=str(REPO / "PARITY_RESULTS.md"))
     ap.add_argument("--json", default=str(REPO / "parity_results.json"))
     args = ap.parse_args()
-    params = FAST_PARAMS if args.fast else DEFAULT_PARAMS
+    params = (
+        PAPER_PARAMS if args.paper else FAST_PARAMS if args.fast else DEFAULT_PARAMS
+    )
 
     results = {}
     for wl, n_train, n_test in (
