@@ -119,12 +119,27 @@ class SamplerParams:
     # N at trace time: lowrank at N >= 256, plain below.
     scan_style: str = "auto"
 
+    # rank1 move-scan unroll factor (lax.scan ``unroll``). The scan is
+    # latency-bound on per-move op count, so letting XLA fuse/pipeline
+    # consecutive iterations can shave fixed per-iteration overhead at the
+    # cost of compile time and code size. Full-bench A/B decides per regime
+    # (see scan_style notes for the measurement discipline).
+    scan_unroll: int = 1
+
+    # one-hot operand dtype for the refresh's Gram rebuild: "bf16" halves
+    # the MXU matmul's input traffic and uses the faster bf16 MXU path with
+    # BIT-IDENTICAL counts (0/1 operands exact in bf16, f32 accumulation).
+    # Only material once the gram matmul is MXU-bound (large padded N);
+    # full-bench A/B decides the auto threshold.
+    gram_dtype: str = "f32"
+
     _ALLOWED_MODES = {
         "kernel_backend": ("rank1", "chol", "woodbury"),
         "subspace_mode": ("walk", "carry"),
         "hot_style": ("walk_select", "scatter", "select", "doubling"),
-        "refresh_style": ("pair", "batched", "onesolve"),
-        "scan_style": ("plain", "aug", "lowrank", "auto"),
+        "refresh_style": ("pair", "batched", "onesolve", "factor"),
+        "scan_style": ("plain", "aug", "lowrank", "coeff", "auto"),
+        "gram_dtype": ("f32", "bf16"),
     }
 
     def __post_init__(self):
@@ -136,6 +151,19 @@ class SamplerParams:
                 raise ValueError(
                     f"SamplerParams.{name}={value!r}: must be one of {allowed}"
                 )
+        if self.refresh_style == "factor" and self.scan_style != "coeff":
+            # the factor carry stores L where other scans expect K^-1; only
+            # the coefficient-space scan consumes the kernel exclusively
+            # through symmetric products, which is what makes the
+            # inverse-free carry possible.
+            raise ValueError(
+                'refresh_style="factor" requires scan_style="coeff"'
+            )
+        if not (isinstance(self.scan_unroll, int) and self.scan_unroll >= 1):
+            raise ValueError(
+                f"SamplerParams.scan_unroll={self.scan_unroll!r}: must be a "
+                "positive int"
+            )
 
     @property
     def proposal_weights(self) -> tuple[float, float, float]:

@@ -203,7 +203,10 @@ def init_chain_state(
     noise = jnp.asarray(noise, jnp.float32)
     scale = jnp.asarray(scale, jnp.float32)
     leaves = route_forest(forest, X, feat_types, params.max_depth)
-    gram = gram_from_leaves(leaves, leaves, params.node_limit, mask, mask)
+    gram = gram_from_leaves(
+        leaves, leaves, params.node_limit, mask, mask,
+        onehot_dtype=jnp.bfloat16 if params.gram_dtype == "bf16" else jnp.float32,
+    )
     K = kernel_matrix(gram, noise, scale)
     if params.subspace_mode == "carry":
         subspaces = jax.vmap(
@@ -214,6 +217,13 @@ def init_chain_state(
     if params.kernel_backend == "chol":
         mll_val, _ = _chol_mll(K, y.reshape(-1), noise, pad_count)
         kern = KernState(K=K, K_inv=_empty(), K_logdet=_empty())
+    elif (
+        params.kernel_backend == "rank1" and params.refresh_style == "factor"
+    ):
+        # factor carry: L in the K slot, no inverse anywhere (see step())
+        mll_val, L = _chol_mll(K, y.reshape(-1), noise, pad_count)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        kern = KernState(K=L, K_inv=_empty(), K_logdet=logdet)
     else:
         K_inv, K_logdet = chol_inv_logdet(K)
         mll_val = masked_mll(K_inv, K_logdet, y, noise, pad_count)
@@ -437,8 +447,9 @@ def _tree_moves_rank1(
         cur_mll = jnp.where(accept, new_mll, cur_mll)
         return (K_inv, K_logdet, v_y, quad, cur_mll), accept
 
-    v_y0 = state.kern.K_inv @ y_flat
-    quad0 = y_flat @ v_y0
+    if params.refresh_style != "factor":
+        v_y0 = state.kern.K_inv @ y_flat
+        quad0 = y_flat @ v_y0
 
     def tree_move_aug(carry, inputs):
         # augmented-carry variant: A = [K_inv | v_y] (N, N+1) — the v_y
@@ -525,6 +536,50 @@ def _tree_moves_rank1(
         cur_mll = jnp.where(accept, new_mll, cur_mll)
         return (P, Q, K_logdet, v_y, quad, cur_mll), accept
 
+    def tree_move_coeff(carry, inputs):
+        # Coefficient-space deferred update: every per-move quantity lives
+        # in span(V0) with V0 = K0^-1 W_flat, so the scan NEVER touches an
+        # N-sized operand at all. With the (2m, 2m) interaction matrix
+        #   Hm = W_flat^T K0^-1 W_flat
+        # hoisted into one MXU matmul, represent
+        #   K^-1_cur = K0^-1 - V0 S V0^T,   v_y_cur = v_y0 - V0 d
+        # and per move j (Tv = Hm[:, 2j:2j+2], Ej = identity columns):
+        #   V_j     = V0 c,  c = Ej - S Tv          (never formed)
+        #   G_j     = W_j^T V_j = Tv^T c            (2, 2)
+        #   t_j     = W_j^T v_y = t0_j - Tv^T d     (2,)
+        # and on accept S += (c Minv) c^T, d += c u. The whole sequential
+        # chain runs on (2m, 2m)-and-smaller tensors — N-independent — so
+        # the latency-bound per-move cost stops growing with the training
+        # set; N appears only in the three hoisted MXU products. Same
+        # Woodbury math as tree_move up to float association (accepts match
+        # in f64, tested like lowrank).
+        S, d, K_logdet, quad, cur_mll = carry
+        Tv, Ej, t0, log_q_prior, log_u = inputs
+
+        c = Ej - S @ Tv  # (2m, 2)
+        G = Tv.T @ c  # (2, 2); symmetric (S, Minv symmetric)
+        t = t0 - Tv.T @ d  # (2,)
+        A, B, C = G[0, 0], G[1, 1], G[0, 1]
+        denom1 = 1.0 + A
+        detM = denom1 * (B - 1.0) - C * C
+        denom2 = -detM / denom1
+        Minv = jnp.array([[B - 1.0, -C], [-C, denom1]], dtype=Tv.dtype) / detM
+        K_logdet2 = K_logdet + jnp.log(-detM)
+        u = Minv @ t
+        quad2 = quad - t @ u
+
+        new_mll = 0.5 * (-quad2 - K_logdet2 + mll_corr)
+        new_mll = jnp.where(denom2 > eps, new_mll, -jnp.inf)
+        log_alpha = log_q_prior + beta * (new_mll - cur_mll)
+        accept = log_u <= jnp.minimum(log_alpha, 0.0)
+
+        S = jnp.where(accept, S + (c @ Minv) @ c.T, S)
+        d = jnp.where(accept, d + c @ u, d)
+        K_logdet = jnp.where(accept, K_logdet2, K_logdet)
+        quad = jnp.where(accept, quad2, quad)
+        cur_mll = jnp.where(accept, new_mll, cur_mll)
+        return (S, d, K_logdet, quad, cur_mll), accept
+
     scan_style = params.scan_style
     if scan_style == "auto":
         # padded N is static under jit: pick the measured winner per regime
@@ -549,16 +604,72 @@ def _tree_moves_rank1(
                 jnp.log(batch.u_accept),
                 jnp.arange(params.num_trees, dtype=jnp.int32),
             ),
+            unroll=params.scan_unroll,
         )
         # K_inv output is discarded by the rank1 refresh; return the
         # uncorrected base (never materialize K0^-1 - P Q^T).
         K_inv = K0_inv
+    elif scan_style == "coeff":
+        m = params.num_trees
+        m2 = 2 * m
+        W_flat = W_all.transpose(1, 0, 2).reshape(-1, m2)  # (N, 2m)
+        if params.refresh_style == "factor":
+            # kern carries L (chol of K0), never K0^-1: every quantity the
+            # coeff scan needs is a symmetric product through
+            # K0^-1 = L^-T L^-1, so ONE lower-triangular solve with 2m+1
+            # RHS replaces both the refresh's N-RHS inverse build and the
+            # V0 matmul — no N-RHS solve anywhere in the step.
+            L0 = state.kern.K
+            Z = jax.scipy.linalg.solve_triangular(
+                L0,
+                jnp.concatenate([W_flat, y_flat[:, None]], axis=1),
+                lower=True,
+            )  # (N, 2m+1)
+            Zw, zy = Z[:, :-1], Z[:, -1]
+            Hm = Zw.T @ Zw  # (2m, 2m)
+            t0_all = (Zw.T @ zy).reshape(m, 2)
+            quad0 = zy @ zy
+        else:
+            K0_inv = state.kern.K_inv
+            # the only N-sized work: two MXU products, hoisted out of the scan
+            KW = K0_inv @ W_flat  # (N, 2m)
+            Hm = W_flat.T @ KW  # (2m, 2m)
+            t0_all = (W_flat.T @ v_y0).reshape(m, 2)
+        Tv_all = Hm.reshape(m2, m, 2).transpose(1, 0, 2)  # (m, 2m, 2)
+        r = jnp.arange(m2)
+        j2 = 2 * jnp.arange(m)
+        E_all = jnp.stack(
+            [
+                (r[None, :] == j2[:, None]).astype(Hm.dtype),
+                (r[None, :] == (j2 + 1)[:, None]).astype(Hm.dtype),
+            ],
+            axis=-1,
+        )  # (m, 2m, 2)
+        zeros_S = jnp.zeros((m2, m2), dtype=Hm.dtype)
+        zeros_d = jnp.zeros((m2,), dtype=Hm.dtype)
+        (_, _, K_logdet, _, cur_mll), accepts = jax.lax.scan(
+            tree_move_coeff,
+            (zeros_S, zeros_d, state.kern.K_logdet, quad0, state.mll),
+            (
+                Tv_all,
+                E_all,
+                t0_all,
+                batch.log_q_prior,
+                jnp.log(batch.u_accept),
+            ),
+            unroll=params.scan_unroll,
+        )
+        # K_inv output is discarded by the rank1 refresh
+        K_inv = (
+            _empty() if params.refresh_style == "factor" else K0_inv
+        )
     elif scan_style == "aug":
         A0 = jnp.concatenate([state.kern.K_inv, v_y0[:, None]], axis=1)
         (A, K_logdet, _, cur_mll), accepts = jax.lax.scan(
             tree_move_aug,
             (A0, state.kern.K_logdet, quad0, state.mll),
             (W_all, batch.log_q_prior, jnp.log(batch.u_accept)),
+            unroll=params.scan_unroll,
         )
         K_inv = A[:, :-1]
     else:
@@ -566,6 +677,7 @@ def _tree_moves_rank1(
             tree_move,
             (state.kern.K_inv, state.kern.K_logdet, v_y0, quad0, state.mll),
             (W_all, batch.log_q_prior, jnp.log(batch.u_accept)),
+            unroll=params.scan_unroll,
         )
     forest, subs, leaves = _merge_accepted(packed0, state, batch, accepts)
     return forest, subs, leaves, K_inv, K_logdet, cur_mll
@@ -697,7 +809,57 @@ def step(
         # maintained leaves and refactorize BOTH MH branches, so the
         # accept ratio uses exact quantities and Sherman-Morrison drift
         # cannot outlive one step (50 rank-1 updates).
-        gram = gram_from_leaves(leaves, leaves, params.node_limit, mask, mask)
+        gram = gram_from_leaves(
+            leaves, leaves, params.node_limit, mask, mask,
+            onehot_dtype=(
+                jnp.bfloat16 if params.gram_dtype == "bf16" else jnp.float32
+            ),
+        )
+        if params.refresh_style == "factor":
+            # factor refresh: both branch MLLs from one batched Cholesky +
+            # single-RHS solves (like onesolve), but the selected branch's
+            # FACTOR is the carry — the N-RHS inverse build never happens;
+            # the next step's coeff scan consumes L through one 2m+1-RHS
+            # lower solve.
+            K2 = jnp.stack(
+                [
+                    kernel_matrix(gram, state.noise, state.scale),
+                    kernel_matrix(gram, new_noise, new_scale),
+                ]
+            )
+            L2 = jnp.linalg.cholesky(K2)
+            logdet2 = 2.0 * jnp.sum(
+                jnp.log(jnp.diagonal(L2, axis1=-2, axis2=-1)), axis=-1
+            )
+            y2 = jnp.broadcast_to(y.reshape(-1), (2, y.size))[..., None]
+            z2 = jax.scipy.linalg.solve_triangular(L2, y2, lower=True)[..., 0]
+            quad2 = jnp.sum(z2 * z2, axis=-1)
+            corr = jnp.stack(
+                [
+                    pad_count * jnp.log(JITTER + state.noise),
+                    pad_count * jnp.log(JITTER + new_noise),
+                ]
+            )
+            mll2 = 0.5 * (-quad2 - logdet2 + corr)
+            cur_mll, new_mll = mll2[0], mll2[1]
+
+            log_alpha = log_q_prior + beta * (new_mll - cur_mll)
+            u = jax.random.uniform(k_hyper_accept, dtype=jnp.float32)
+            accept = jnp.log(u) <= jnp.minimum(log_alpha, 0.0)
+            kern = KernState(
+                K=jnp.where(accept, L2[1], L2[0]),
+                K_inv=_empty(),
+                K_logdet=jnp.where(accept, logdet2[1], logdet2[0]),
+            )
+            return ChainState(
+                forest=forest,
+                leaves=leaves,
+                noise=jnp.where(accept, new_noise, state.noise),
+                scale=jnp.where(accept, new_scale, state.scale),
+                kern=kern,
+                mll=jnp.where(accept, new_mll, cur_mll),
+                subspaces=subs,
+            )
         if params.refresh_style == "onesolve":
             # both branches' exact MLLs come from one batched Cholesky +
             # one single-RHS triangular solve (z = L⁻¹y, mll from ‖z‖²);
@@ -793,7 +955,10 @@ def step(
     forest, subs, leaves, K_inv, K_logdet, cur_mll = _tree_moves_woodbury(
         k_trees, state, X, y, mask, pad_count, bounds, feat_types, params, beta
     )
-    gram = gram_from_leaves(leaves, leaves, params.node_limit, mask, mask)
+    gram = gram_from_leaves(
+        leaves, leaves, params.node_limit, mask, mask,
+        onehot_dtype=jnp.bfloat16 if params.gram_dtype == "bf16" else jnp.float32,
+    )
     K = kernel_matrix(gram, new_noise, new_scale)
     new_K_inv, new_K_logdet = chol_inv_logdet(K)
     new_mll = masked_mll(new_K_inv, new_K_logdet, y, new_noise, pad_count)

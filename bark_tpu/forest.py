@@ -223,13 +223,14 @@ def leaf_onehot(leaves: jax.Array, node_limit: int, dtype=jnp.float32) -> jax.Ar
     return jax.nn.one_hot(leaves, node_limit, dtype=dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("node_limit",))
+@functools.partial(jax.jit, static_argnames=("node_limit", "onehot_dtype"))
 def gram_from_leaves(
     leaves1: jax.Array,
     leaves2: jax.Array,
     node_limit: int,
     mask1: jax.Array | None = None,
     mask2: jax.Array | None = None,
+    onehot_dtype=jnp.float32,
 ) -> jax.Array:
     """Agreement Gram matrix from leaf assignments.
 
@@ -239,14 +240,24 @@ def gram_from_leaves(
     one-hot × one-hot matmul (inner dim ``m * node_limit``) so XLA tiles it
     onto the MXU; counts are exact in float32 (0/1 values, sums <= m).
 
+    ``onehot_dtype=bfloat16`` keeps the counts bit-identical (0/1 operands
+    are exact in bf16 and the MXU accumulates in float32 via
+    ``preferred_element_type``) while halving the matmul's input traffic and
+    using the MXU's faster bf16 path — only material once the gram matmul is
+    MXU-bound (N >= ~512; at BO-default N it measured neutral, CLAUDE.md).
+
     ``mask1``/``mask2`` zero out rows/columns for padded data points — the
     fixed-shape BO path pads the training set to a bucket size so XLA
     recompiles only at bucket boundaries, and masked points must contribute
     nothing to the kernel.
     """
     n, m = leaves1.shape
-    z1 = leaf_onehot(leaves1, node_limit).reshape(n, m * node_limit)
-    z2 = leaf_onehot(leaves2, node_limit).reshape(leaves2.shape[0], m * node_limit)
+    z1 = leaf_onehot(leaves1, node_limit, onehot_dtype).reshape(
+        n, m * node_limit
+    )
+    z2 = leaf_onehot(leaves2, node_limit, onehot_dtype).reshape(
+        leaves2.shape[0], m * node_limit
+    )
     if mask1 is not None:
         z1 = z1 * mask1[:, None].astype(z1.dtype)
     if mask2 is not None:

@@ -142,6 +142,15 @@ def test_hot_styles_agree_on_trajectory():
         # lowrank defers K^-1 updates into (P, Q) factors against the
         # frozen start-of-step inverse — same association caveat
         "lowrank_scan": dict(scan_style="lowrank"),
+        # coeff runs the whole move scan in span(V0) coefficients — the
+        # strongest reassociation, but still the same Woodbury math
+        "coeff_scan": dict(scan_style="coeff"),
+        # factor refresh carries L instead of K^-1 (inverse-free step);
+        # requires the coeff scan. bf16 gram one-hots are bit-exact.
+        "coeff_factor": dict(scan_style="coeff", refresh_style="factor"),
+        "coeff_factor_bf16": dict(
+            scan_style="coeff", refresh_style="factor", gram_dtype="bf16"
+        ),
         # auto resolves to plain at this padded N (< 256) — must be
         # bit-identical to the reference lowering
         "auto_scan": dict(scan_style="auto"),
@@ -163,7 +172,8 @@ def test_hot_styles_agree_on_trajectory():
 
     ref = out["scatter"]
     for name in ("walk_select", "select", "select_fused", "doubling",
-                 "doubling_fused", "aug_scan", "auto_scan"):
+                 "doubling_fused", "aug_scan", "lowrank_scan", "coeff_scan",
+                 "coeff_factor", "coeff_factor_bf16", "auto_scan"):
         np.testing.assert_array_equal(
             np.asarray(ref.forest.threshold),
             np.asarray(out[name].forest.threshold),
