@@ -11,9 +11,10 @@ import pytest
 from bark_tpu.benchmarks import BENCHMARK_MAP, map_benchmark
 from bark_tpu.constraints import total_violation
 
-UNAVAILABLE = {"SVRBench", "CCOBench"}
+UNAVAILABLE = {"CCOBench"}
 NEEDS_DATA = {"DatasetBenchmark"}
-SLOW = {"XGBoostMNIST"}  # trains a real model per evaluation
+# train a real model per evaluation; SVRBench has its own sized-down test
+SLOW = {"XGBoostMNIST", "SVRBench"}
 
 
 @pytest.mark.parametrize(
