@@ -71,6 +71,7 @@ from bark_tpu.forest import (
     gram_from_leaves,
     pack_forest,
     route_forest,
+    route_forest_select,
     unpack_forest,
 )
 from bark_tpu.ops.linalg import (
@@ -202,7 +203,16 @@ def init_chain_state(
     pad_count = X.shape[0] - jnp.sum(mask)
     noise = jnp.asarray(noise, jnp.float32)
     scale = jnp.asarray(scale, jnp.float32)
-    leaves = route_forest(forest, X, feat_types, params.max_depth)
+    # trace-time backend dispatch, same lesson as evaluate_acquisition:
+    # the gather-walk routing costs ~1.2 s at (64 chains, m=50, N=1024) on
+    # TPU where the one-hot transition-matmul form is bit-identical and
+    # runs on the MXU (measured in the r3 scan-structure ablation).
+    route = (
+        route_forest_select
+        if jax.default_backend() == "tpu"
+        else route_forest
+    )
+    leaves = route(forest, X, feat_types, params.max_depth)
     gram = gram_from_leaves(
         leaves, leaves, params.node_limit, mask, mask,
         onehot_dtype=jnp.bfloat16 if params.gram_dtype == "bf16" else jnp.float32,
@@ -983,8 +993,7 @@ def step(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def run_chain(
+def _run_chain(
     key: jax.Array,
     forest: Forest,
     noise: jax.Array,
@@ -998,10 +1007,11 @@ def run_chain(
 ) -> tuple[BARKModel, ChainState, jax.Array]:
     """Run one chain: warmup then ``num_samples`` thinned samples.
 
-    Returns (samples, final state, per-sample MLL trace).
-
-    Parity: the per-chain body of ``_run_bark_sampler_multichain``
-    (src/bark/fitting/bark_sampler.py:147-211).
+    Returns (samples, final state, per-sample MLL trace). Un-jitted body so
+    multi-chain drivers can vmap it inside ONE jit trace and XLA can
+    dead-code-eliminate whichever outputs a driver discards (a nested-jit
+    call boundary kept the full final ChainState — including the (N, N)
+    kernel carry — alive in every caller; measured +39 ms/step at N=1024).
     """
     state = init_chain_state(
         forest, noise, scale, X, y, feat_types, params, mask, bounds=bounds
@@ -1027,6 +1037,10 @@ def run_chain(
     return BARKModel(forest=forests, noise=noises, scale=scales), state, mlls
 
 
+run_chain = functools.partial(jax.jit, static_argnames=("params",))(_run_chain)
+run_chain.__doc__ = _run_chain.__doc__
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def run_bark_sampler(
     key: jax.Array,
@@ -1048,10 +1062,12 @@ def run_bark_sampler(
     """
     num_chains = model.noise.shape[0]
     keys = jax.random.split(key, num_chains)
-    samples, _, _ = jax.vmap(
-        lambda k, f, n, s: run_chain(
+    # subset INSIDE the jit trace: the discarded final ChainState (with its
+    # (N, N) kernel carry) is then dead code, not a forced output
+    samples = jax.vmap(
+        lambda k, f, n, s: _run_chain(
             k, f, n, s, X, y, bounds, feat_types, params, mask
-        )
+        )[0]
     )(keys, model.forest, model.noise, model.scale)
     return samples
 
@@ -1072,9 +1088,11 @@ def run_bark_sampler_with_trace(
     examples/mcmc/mcmc_record_mll.py in the reference."""
     num_chains = model.noise.shape[0]
     keys = jax.random.split(key, num_chains)
-    samples, _, mlls = jax.vmap(
-        lambda k, f, n, s: run_chain(
+    def one(k, f, n, s):
+        samples, _, mlls = _run_chain(
             k, f, n, s, X, y, bounds, feat_types, params, mask
         )
-    )(keys, model.forest, model.noise, model.scale)
+        return samples, mlls
+
+    samples, mlls = jax.vmap(one)(keys, model.forest, model.noise, model.scale)
     return samples, mlls

@@ -24,7 +24,7 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bark_tpu.fitting.params import SamplerParams
-from bark_tpu.fitting.sampler import BARKModel, run_chain
+from bark_tpu.fitting.sampler import BARKModel, _run_chain
 from bark_tpu.forest import Forest
 
 
@@ -80,7 +80,7 @@ def sharded_run_sampler(
     )
     def run_local(keys, forest, noise, scale, X, y, bounds, feat_types):
         def one(k, f, n, s):
-            samples, final, _ = run_chain(
+            samples, final, _ = _run_chain(
                 k, f, n, s, X, y, bounds, feat_types, params, mask
             )
             return samples, final.mll
