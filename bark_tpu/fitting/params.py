@@ -126,6 +126,29 @@ class SamplerParams:
     # (see scan_style notes for the measurement discipline).
     scan_unroll: int = 1
 
+    # Cholesky implementation for the once-per-step exact refresh:
+    #   -1 ("auto", default) — blocked right-looking factorization
+    #     (ops/linalg.blocked_cholesky) once the padded N has >= 2 panels
+    #     of 256; XLA's expander below that.
+    #    0 — always XLA's jnp.linalg.cholesky (the round-2 behavior).
+    #   >0 — blocked with this panel size (must divide the padded N, else
+    #     falls back to XLA).
+    # Why: XLA's TPU CholeskyExpander is latency-bound on its column loop
+    # (~55 ms of the ~71 ms N=1024 step, results/ab_r3/scanstruct.txt);
+    # the blocked form keeps the sequential recursion inside 256-blocks
+    # and puts the trailing updates on the MXU.
+    chol_block: int = -1
+
+    # refresh Cholesky implementation (only consulted when the resolved
+    # chol_block is > 0):
+    #   "auto" (default) — Pallas diagonal-block kernel on TPU
+    #     (ops/pallas_chol.py: the column recursion runs as machine code
+    #     over VMEM tiles and emits the block inverse in the same loop),
+    #     XLA blocked elsewhere;
+    #   "xla" — blocked with XLA chol + TriangularSolve panels;
+    #   "pallas" — force the Pallas kernel (TPU only).
+    chol_impl: str = "auto"
+
     # one-hot operand dtype for the refresh's Gram rebuild: "bf16" halves
     # the MXU matmul's input traffic and uses the faster bf16 MXU path with
     # BIT-IDENTICAL counts (0/1 operands exact in bf16, f32 accumulation).
@@ -140,6 +163,7 @@ class SamplerParams:
         "refresh_style": ("pair", "batched", "onesolve", "factor"),
         "scan_style": ("plain", "aug", "lowrank", "coeff", "auto"),
         "gram_dtype": ("f32", "bf16"),
+        "chol_impl": ("auto", "xla", "pallas"),
     }
 
     def __post_init__(self):
@@ -158,6 +182,11 @@ class SamplerParams:
             # inverse-free carry possible.
             raise ValueError(
                 'refresh_style="factor" requires scan_style="coeff"'
+            )
+        if not (isinstance(self.chol_block, int) and self.chol_block >= -1):
+            raise ValueError(
+                f"SamplerParams.chol_block={self.chol_block!r}: must be -1 "
+                "(auto), 0 (XLA), or a positive panel size"
             )
         if not (isinstance(self.scan_unroll, int) and self.scan_unroll >= 1):
             raise ValueError(

@@ -76,10 +76,37 @@ from bark_tpu.forest import (
 )
 from bark_tpu.ops.linalg import (
     JITTER,
+    blocked_cholesky,
     chol_inv_logdet,
     kernel_matrix,
     masked_mll,
 )
+
+
+def _refresh_chol(params: SamplerParams, n: int) -> tuple[int, str]:
+    """Resolve (panel size, impl) for the refresh Cholesky (trace-time).
+
+    chol_block auto (-1): blocked once the padded N >= 512 — below that
+    the factorization is not the bottleneck and XLA's expander is fine.
+    Panel size: 64 for the Pallas kernel (its column loop is in-VMEM
+    machine code, so small panels shift work onto the MXU matmuls), 256
+    for the XLA-blocked form (each panel pays a full column-loop latency,
+    so fewer panels win). chol_impl auto: Pallas on TPU, XLA elsewhere
+    (the kernel is Mosaic-only). Full-bench A/Bs:
+    results/ab_r3/ab_cholblock.jsonl.
+    """
+    impl = params.chol_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if params.chol_block == 0:
+        return 0, impl
+    if params.chol_block > 0:
+        blk = params.chol_block if n % params.chol_block == 0 else 0
+        return blk, impl
+    if n < 512:
+        return 0, impl
+    blk = 64 if impl == "pallas" else 256
+    return (blk if n % blk == 0 else 0), impl
 
 
 class KernState(NamedTuple):
@@ -825,6 +852,7 @@ def step(
                 jnp.bfloat16 if params.gram_dtype == "bf16" else jnp.float32
             ),
         )
+        blk, chol_impl = _refresh_chol(params, X.shape[0])
         if params.refresh_style == "factor":
             # factor refresh: both branch MLLs from one batched Cholesky +
             # single-RHS solves (like onesolve), but the selected branch's
@@ -837,7 +865,7 @@ def step(
                     kernel_matrix(gram, new_noise, new_scale),
                 ]
             )
-            L2 = jnp.linalg.cholesky(K2)
+            L2 = blocked_cholesky(K2, block=blk, impl=chol_impl)
             logdet2 = 2.0 * jnp.sum(
                 jnp.log(jnp.diagonal(L2, axis1=-2, axis2=-1)), axis=-1
             )
@@ -883,7 +911,7 @@ def step(
                     kernel_matrix(gram, new_noise, new_scale),
                 ]
             )
-            L2 = jnp.linalg.cholesky(K2)
+            L2 = blocked_cholesky(K2, block=blk, impl=chol_impl)
             logdet2 = 2.0 * jnp.sum(
                 jnp.log(jnp.diagonal(L2, axis1=-2, axis2=-1)), axis=-1
             )
@@ -931,14 +959,14 @@ def step(
                     kernel_matrix(gram, new_noise, new_scale),
                 ]
             )
-            inv2, logdet2 = chol_inv_logdet(K2)
+            inv2, logdet2 = chol_inv_logdet(K2, block=blk, impl=chol_impl)
             cur_inv, new_inv = inv2[0], inv2[1]
             cur_logdet, new_logdet = logdet2[0], logdet2[1]
         else:  # "pair"
             K_cur = kernel_matrix(gram, state.noise, state.scale)
-            cur_inv, cur_logdet = chol_inv_logdet(K_cur)
+            cur_inv, cur_logdet = chol_inv_logdet(K_cur, block=blk, impl=chol_impl)
             K_new = kernel_matrix(gram, new_noise, new_scale)
-            new_inv, new_logdet = chol_inv_logdet(K_new)
+            new_inv, new_logdet = chol_inv_logdet(K_new, block=blk, impl=chol_impl)
         cur_mll = masked_mll(cur_inv, cur_logdet, y, state.noise, pad_count)
         new_mll = masked_mll(new_inv, new_logdet, y, new_noise, pad_count)
 
@@ -970,7 +998,9 @@ def step(
         onehot_dtype=jnp.bfloat16 if params.gram_dtype == "bf16" else jnp.float32,
     )
     K = kernel_matrix(gram, new_noise, new_scale)
-    new_K_inv, new_K_logdet = chol_inv_logdet(K)
+    new_K_inv, new_K_logdet = chol_inv_logdet(
+        K, block=_refresh_chol(params, X.shape[0])[0]
+    )
     new_mll = masked_mll(new_K_inv, new_K_logdet, y, new_noise, pad_count)
 
     log_alpha = log_q_prior + beta * (new_mll - cur_mll)

@@ -12,12 +12,12 @@ Default mode prints ONE JSON line:
 (BASELINE.md — the reference publishes no numbers of its own; its Numba
 sampler runs chains serially on CPU).
 
-``--curve`` mode (VERDICT r1 #10) sweeps N in {50, 200, 512} plus a
-mixed-categorical variant (2 of 5 features categorical with 5 levels,
-matching BASELINE config #4's flavor) and prints one JSON array — so perf
-judging sees where the O(N^2) kernel refresh starts to bite, not a single
-point. Use ``--out FILE`` to also write the array to disk
-(BENCH_CURVE_r{N}.json artifacts).
+``--curve`` mode (VERDICT r1 #10, extended to N=1024 per VERDICT r2 #2)
+sweeps N in {50, 200, 512, 1024} plus a mixed-categorical variant (2 of 5
+features categorical with 5 levels, matching BASELINE config #4's flavor)
+and prints one JSON array — so perf judging sees where the O(N^2) kernel
+refresh starts to bite, not a single point. Use ``--out FILE`` to also
+write the array to disk (BENCH_CURVE_r{N}.json artifacts).
 """
 
 from __future__ import annotations
@@ -122,6 +122,7 @@ def main():
             {"n_train": 50, "cat_dim": 0},
             {"n_train": 200, "cat_dim": 0},
             {"n_train": 512, "cat_dim": 0},
+            {"n_train": 1024, "cat_dim": 0},
             {"n_train": 50, "cat_dim": 2},  # mixed-categorical variant
         ]
         results = [measure(**c) for c in configs]
