@@ -127,26 +127,31 @@ class SamplerParams:
     scan_unroll: int = 1
 
     # Cholesky implementation for the once-per-step exact refresh:
-    #   -1 ("auto", default) — blocked right-looking factorization
-    #     (ops/linalg.blocked_cholesky) once the padded N has >= 2 panels
-    #     of 256; XLA's expander below that.
-    #    0 — always XLA's jnp.linalg.cholesky (the round-2 behavior).
-    #   >0 — blocked with this panel size (must divide the padded N, else
-    #     falls back to XLA).
-    # Why: XLA's TPU CholeskyExpander is latency-bound on its column loop
-    # (~55 ms of the ~71 ms N=1024 step, results/ab_r3/scanstruct.txt);
-    # the blocked form keeps the sequential recursion inside 256-blocks
-    # and puts the trailing updates on the MXU.
+    #   -1 ("auto", default) — resolves to 0 at every N: both blocked
+    #     variants are MEASURED LOSERS on the full bench (TPU v5e, 64
+    #     chains, results/ab_r4/ab_cholblock.jsonl — steps/s at
+    #     N=512/1024: plain XLA 1935/839, XLA-blocked-256 1871/807,
+    #     Pallas-blocked-64 1159/517). Rationale for keeping the modes:
+    #     the expander's column-loop latency is real (~55 ms of the 71 ms
+    #     N=1024 step, results/ab_r3/scanstruct.txt) but at refresh batch
+    #     2*chains=128 it is amortized across the batch; the blocked
+    #     forms add per-panel HBM round-trips that cost more than the
+    #     loop latency they save.
+    #    0 — always XLA's jnp.linalg.cholesky.
+    #   >0 — blocked right-looking factorization
+    #     (ops/linalg.blocked_cholesky) with this panel size (must divide
+    #     the padded N, else falls back to XLA). Opt-in only; re-promote
+    #     to auto only with a committed full-bench A/B win.
     chol_block: int = -1
 
-    # refresh Cholesky implementation (only consulted when the resolved
-    # chol_block is > 0):
+    # refresh Cholesky implementation (only consulted when chol_block > 0):
     #   "auto" (default) — Pallas diagonal-block kernel on TPU
     #     (ops/pallas_chol.py: the column recursion runs as machine code
     #     over VMEM tiles and emits the block inverse in the same loop),
     #     XLA blocked elsewhere;
     #   "xla" — blocked with XLA chol + TriangularSolve panels;
-    #   "pallas" — force the Pallas kernel (TPU only).
+    #   "pallas" — force the Pallas kernel (TPU only; raises on other
+    #     backends rather than failing inside Mosaic lowering).
     chol_impl: str = "auto"
 
     # one-hot operand dtype for the refresh's Gram rebuild: "bf16" halves

@@ -86,27 +86,29 @@ from bark_tpu.ops.linalg import (
 def _refresh_chol(params: SamplerParams, n: int) -> tuple[int, str]:
     """Resolve (panel size, impl) for the refresh Cholesky (trace-time).
 
-    chol_block auto (-1): blocked once the padded N >= 512 — below that
-    the factorization is not the bottleneck and XLA's expander is fine.
-    Panel size: 64 for the Pallas kernel (its column loop is in-VMEM
-    machine code, so small panels shift work onto the MXU matmuls), 256
-    for the XLA-blocked form (each panel pays a full column-loop latency,
-    so fewer panels win). chol_impl auto: Pallas on TPU, XLA elsewhere
-    (the kernel is Mosaic-only). Full-bench A/Bs:
-    results/ab_r3/ab_cholblock.jsonl.
+    chol_block auto (-1) resolves to 0 — plain ``jnp.linalg.cholesky`` —
+    at every N. Both alternatives LOSE the full-bench A/B on TPU v5e
+    (results/ab_r4/ab_cholblock.jsonl): the Pallas diagonal-block kernel
+    at 1159/517 steps/s (N=512/1024) and the XLA-blocked form at
+    1871/807, vs 1935/839 for the plain expander. They remain opt-in
+    (chol_block>0) for future re-measurement; chol_impl auto then picks
+    Pallas on TPU (the kernel is Mosaic-only), XLA elsewhere.
     """
     impl = params.chol_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if params.chol_block == 0:
-        return 0, impl
+    elif impl == "pallas" and jax.default_backend() != "tpu":
+        # A forced Pallas impl would otherwise die deep inside pallas_call
+        # with a Mosaic lowering error on CPU/GPU backends (ADVICE r3).
+        raise ValueError(
+            'SamplerParams.chol_impl="pallas" requires a TPU backend '
+            f"(default backend is {jax.default_backend()!r}); use "
+            '"auto" or "xla"'
+        )
     if params.chol_block > 0:
         blk = params.chol_block if n % params.chol_block == 0 else 0
         return blk, impl
-    if n < 512:
-        return 0, impl
-    blk = 64 if impl == "pallas" else 256
-    return (blk if n % blk == 0 else 0), impl
+    return 0, impl
 
 
 class KernState(NamedTuple):
@@ -998,9 +1000,8 @@ def step(
         onehot_dtype=jnp.bfloat16 if params.gram_dtype == "bf16" else jnp.float32,
     )
     K = kernel_matrix(gram, new_noise, new_scale)
-    new_K_inv, new_K_logdet = chol_inv_logdet(
-        K, block=_refresh_chol(params, X.shape[0])[0]
-    )
+    blk, chol_impl = _refresh_chol(params, X.shape[0])
+    new_K_inv, new_K_logdet = chol_inv_logdet(K, block=blk, impl=chol_impl)
     new_mll = masked_mll(new_K_inv, new_K_logdet, y, new_noise, pad_count)
 
     log_alpha = log_q_prior + beta * (new_mll - cur_mll)

@@ -115,7 +115,6 @@ def _diag_chol_inv(d: jax.Array, impl: str, interpret: bool):
     if impl == "pallas":
         from bark_tpu.ops.pallas_chol import chol_inv_blocks
 
-        batch = d.shape[:-2]
         flat = d.reshape((-1,) + d.shape[-2:])
         l, e = chol_inv_blocks(flat, interpret=interpret)
         return l.reshape(d.shape), e.reshape(d.shape)

@@ -6,10 +6,20 @@ CholeskyExpander runs its column recursion as an in-graph while loop whose
 per-iteration latency is fixed regardless of width — at N=1024, batch 128
 that is ~55 ms, 78% of the whole MCMC step (results/ab_r3/scanstruct.txt),
 and an XLA-level re-blocking doesn't help because every panel still pays
-the same loop latency (results/ab_r3/ab_cholblock.jsonl). The reference
+the same loop latency (results/ab_r4/ab_cholblock.jsonl). The reference
 has no analogue (its Numba sampler factors one small matrix at a time on
 the CPU, src/bark/fitting/bark_sampler.py:153-162); this is a TPU-native
 cost and needs a TPU-native fix.
+
+STATUS — measured LOSER as the sampler-refresh default (kept opt-in).
+The full-bench A/B on TPU v5e (results/ab_r4/ab_cholblock.jsonl) has this
+kernel at 1158.7/516.9 steps/s (N=512/1024) vs 1934.9/839.3 for XLA's
+plain expander: the in-scan refresh shape is (2, N, N) per chain under
+vmap, and at batch 128 the expander's column loop is already amortized
+across the batch, while this kernel's small panels force extra
+HBM<->VMEM round-trips per panel. Correctness is fully tested
+(tests/ops/test_pallas_chol.py); do NOT route the sampler through it by
+default without a full-bench A/B win recorded under results/.
 
 The fix splits the factorization the way the hardware wants:
 

@@ -23,15 +23,17 @@ def make_scan(chol, K):
     n = K.shape[-1]
     eye = jnp.eye(n, dtype=K.dtype)
 
-    def body(carry, i):
-        # data-depend on the carry so iterations can't collapse
-        L = chol(K + (carry * 0.0 + 1e-7 * i) * eye)
-        s = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
-        return s, ()
-
     @jax.jit
     def run(K0):
-        s, _ = jax.lax.scan(body, 0.0, jnp.arange(STEPS, dtype=K.dtype))
+        # K0 is a traced argument (not a closed-over constant) and each
+        # iteration's input depends on the previous carry, so XLA cannot
+        # constant-fold or hoist any factorization out of the chain.
+        def body(carry, i):
+            L = chol(K0 + (carry * 0.0 + 1e-7 * i) * eye)
+            s = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
+            return s, ()
+
+        s, _ = jax.lax.scan(body, 0.0, jnp.arange(STEPS, dtype=K0.dtype))
         return s
 
     return run
