@@ -91,7 +91,12 @@ class MultiFidelityStrategy:
         the surrogate has enough data."""
         if not self.has_sufficient_experiments() or self.surrogate.train is None:
             x = sample_feasible(self.domain, 1, self._rng)
-            fid = int(len(self.y or []) % self.num_tasks)
+            # self.y is an ndarray once anything was told — `self.y or []`
+            # would raise on >1 elements (round-4 cold-start fix; exactly
+            # the state this round-robin branch serves: several points
+            # observed but some fidelity still unobserved).
+            n_obs = 0 if self.y is None else len(self.y)
+            fid = int(n_obs % self.num_tasks)
             return x, fid
 
         ft = jnp.asarray(self.domain.feature_types())

@@ -66,3 +66,27 @@ def test_fstar_samples_are_plausible_minima():
     slack = 4.0 * float(f_star.std()) / np.sqrt(len(f_star))
     assert f_star.mean() <= float(np.asarray(mu0).min()) + slack
     assert f_star.std() > 0.0
+
+
+def test_ask_cold_start_partial_fidelities():
+    """ask() must round-robin fidelities while some task is unobserved.
+
+    Round-3 regression (VERDICT Weak #3): with >=2 observations at one
+    fidelity, `len(self.y or [])` raised "truth value of an array ...
+    is ambiguous" — exactly the state the round-robin branch serves.
+    """
+    from bark_tpu.benchmarks import map_benchmark
+    from bark_tpu.strategies.multi_fidelity import MultiFidelityStrategy
+
+    bench = map_benchmark("CurrinExp2D")
+    rng = np.random.default_rng(0)
+    X = bench.domain.sample(3, rng)
+    fid = np.zeros(3, np.int64)  # all at fidelity 0: task 1 unobserved
+    y = bench.f_fidelity(X, fid)
+
+    strat = MultiFidelityStrategy(bench.domain, fidelity_costs=[1.0, 0.2], seed=0)
+    strat.tell(X, fid, y)
+    assert not strat.has_sufficient_experiments()
+    x, f = strat.ask()
+    assert x.shape == (1, len(bench.domain.inputs))
+    assert f == 3 % 2  # round-robin on observation count
