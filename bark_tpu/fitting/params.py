@@ -119,6 +119,27 @@ class SamplerParams:
     # N at trace time: lowrank at N >= 256, plain below.
     scan_style: str = "auto"
 
+    # refresh_style="leaf" (requires scan_style="coeff") replaces the
+    # once-per-step exact (N, N) refresh with an N-FREE factored refresh:
+    # K = nu*I + (scale/m) Z Z^T with Z the (N, R) compact leaf-indicator
+    # matrix (R = leaf_budget slots packed per-tree), so both MH branches'
+    # logdet/quadratic come from one batched (2, R, R) Cholesky of
+    # A = (nu/gamma) I + Z^T Z (matrix-determinant lemma + Woodbury —
+    # exactly the repo's tested oracles, ops/linalg.py:60-88), and the
+    # coeff scan's hoisted products come from one (R, 2m+1) triangular
+    # solve against the carried factor of A instead of an N-RHS solve.
+    # The (N, N) gram is never built. Exact (same math up to float
+    # association) PROVIDED the forest's total leaf count stays <= R; the
+    # move scan enforces that by MH-rejecting grow moves at capacity — a
+    # principled truncation of the tree prior (the reference truncates the
+    # same way per-tree at node_limit, src/bark/fitting/tree_proposals.py:58)
+    # that is statistically invisible at the default budget (posterior
+    # forests average ~2.5 leaves/tree => ~m*2.5 total vs R >= 384).
+    #
+    # leaf_budget: total compact leaf slots R. 0 (auto) resolves to
+    # max(128, ceil(6*num_trees/128)*128) — 384 at m=50.
+    leaf_budget: int = 0
+
     # rank1 move-scan unroll factor (lax.scan ``unroll``). The scan is
     # latency-bound on per-move op count, so letting XLA fuse/pipeline
     # consecutive iterations can shave fixed per-iteration overhead at the
@@ -165,7 +186,7 @@ class SamplerParams:
         "kernel_backend": ("rank1", "chol", "woodbury"),
         "subspace_mode": ("walk", "carry"),
         "hot_style": ("walk_select", "scatter", "select", "doubling"),
-        "refresh_style": ("pair", "batched", "onesolve", "factor"),
+        "refresh_style": ("pair", "batched", "onesolve", "factor", "leaf"),
         "scan_style": ("plain", "aug", "lowrank", "coeff", "auto"),
         "gram_dtype": ("f32", "bf16"),
         "chol_impl": ("auto", "xla", "pallas"),
@@ -180,13 +201,19 @@ class SamplerParams:
                 raise ValueError(
                     f"SamplerParams.{name}={value!r}: must be one of {allowed}"
                 )
-        if self.refresh_style == "factor" and self.scan_style != "coeff":
-            # the factor carry stores L where other scans expect K^-1; only
-            # the coefficient-space scan consumes the kernel exclusively
-            # through symmetric products, which is what makes the
-            # inverse-free carry possible.
+        if self.refresh_style in ("factor", "leaf") and self.scan_style != "coeff":
+            # the factor/leaf carries store a Cholesky factor where other
+            # scans expect K^-1; only the coefficient-space scan consumes
+            # the kernel exclusively through symmetric products, which is
+            # what makes the inverse-free carries possible.
             raise ValueError(
-                'refresh_style="factor" requires scan_style="coeff"'
+                f'refresh_style="{self.refresh_style}" requires '
+                'scan_style="coeff"'
+            )
+        if not (isinstance(self.leaf_budget, int) and self.leaf_budget >= 0):
+            raise ValueError(
+                f"SamplerParams.leaf_budget={self.leaf_budget!r}: must be 0 "
+                "(auto) or a positive slot count"
             )
         if not (isinstance(self.chol_block, int) and self.chol_block >= -1):
             raise ValueError(

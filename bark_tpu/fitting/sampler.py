@@ -111,6 +111,52 @@ def _refresh_chol(params: SamplerParams, n: int) -> tuple[int, str]:
     return 0, impl
 
 
+def _leaf_budget(params: SamplerParams) -> int:
+    """Compact leaf-slot count R for refresh_style="leaf" (trace-time).
+
+    Auto (leaf_budget=0): 128-aligned, >= 6 leaves/tree on average (384 at
+    m=50) — far above the posterior's ~2.5 leaves/tree under the depth
+    prior alpha(1+d)^-beta, so the capacity MH-guard essentially never
+    fires (see params.py leaf_budget notes).
+    """
+    if params.leaf_budget > 0:
+        return params.leaf_budget
+    return max(128, -(-6 * params.num_trees // 128) * 128)
+
+
+def _leaf_cols(forest: Forest, leaves: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Compact leaf-column index per (point, tree), plus total leaf count.
+
+    Tree j's active leaves are ranked in node order and packed at offset
+    ``sum_{j'<j} num_leaves(j')``; ``col[i, j]`` is the compact column of
+    the leaf that point i occupies in tree j. The compact indicator matrix
+    Z (N, R) then satisfies ``Z Z^T == m * gram`` exactly (same products as
+    the (N, m*node_limit) one-hot of gram_from_leaves — the packing is
+    injective on active leaves whenever total <= R).
+    """
+    tmask = terminal_mask(forest)  # (m, node_limit) bool
+    ranks = jnp.cumsum(tmask, axis=-1).astype(jnp.int32) - 1
+    counts = jnp.sum(tmask, axis=-1).astype(jnp.int32)  # (m,)
+    base = jnp.cumsum(counts) - counts  # exclusive prefix
+    # col[i, j] = base[j] + ranks[j, leaves[i, j]]
+    r = jnp.take_along_axis(ranks.T, leaves, axis=0)  # (N, m)
+    return base[None, :] + r, jnp.sum(counts)
+
+
+def _leaf_Z(col: jax.Array, budget: int, mask: jax.Array, dtype) -> jax.Array:
+    """(N, R) compact leaf-indicator matrix from compact columns.
+
+    One scatter-add per step (distinct columns per row — trees occupy
+    disjoint slot ranges); out-of-budget columns are dropped, not clamped
+    (the move scan's capacity guard makes that unreachable; drop is the
+    inert failure mode). Padded rows are zeroed like gram_from_leaves.
+    """
+    n = col.shape[0]
+    Z = jnp.zeros((n, budget), dtype)
+    Z = Z.at[jnp.arange(n)[:, None], col].add(1.0, mode="drop")
+    return Z * mask[:, None].astype(dtype)
+
+
 class KernState(NamedTuple):
     """Kernel carry: exactly one of (K) or (K_inv, K_logdet) is live,
     depending on the static ``params.kernel_backend``; the other is a
@@ -263,6 +309,27 @@ def init_chain_state(
         mll_val, L = _chol_mll(K, y.reshape(-1), noise, pad_count)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
         kern = KernState(K=L, K_inv=_empty(), K_logdet=logdet)
+    elif params.kernel_backend == "rank1" and params.refresh_style == "leaf":
+        # leaf-factor carry: chol(A) in the K slot with
+        # A = (nu/gamma) I_R + Z^T Z — the same quantities step()'s leaf
+        # refresh produces, so the first move scan is indistinguishable
+        # from any later one. No (N, N) object anywhere.
+        budget = _leaf_budget(params)
+        y_flat = y.reshape(-1)
+        nu = JITTER + noise
+        gamma = scale / params.num_trees
+        col, _ = _leaf_cols(forest, leaves)
+        Z = _leaf_Z(col, budget, mask, jnp.float32)
+        A = Z.T @ Z + (nu / gamma) * jnp.eye(budget, dtype=jnp.float32)
+        L_A = jnp.linalg.cholesky(A)
+        logdet_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_A)))
+        K_logdet = (
+            X.shape[0] * jnp.log(nu) + budget * jnp.log(gamma / nu) + logdet_A
+        )
+        s_y = jax.scipy.linalg.solve_triangular(L_A, Z.T @ y_flat, lower=True)
+        quad = (y_flat @ y_flat - s_y @ s_y) / nu
+        mll_val = 0.5 * (-quad - K_logdet + pad_count * jnp.log(nu))
+        kern = KernState(K=L_A, K_inv=_empty(), K_logdet=K_logdet)
     else:
         K_inv, K_logdet = chol_inv_logdet(K)
         mll_val = masked_mll(K_inv, K_logdet, y, noise, pad_count)
@@ -486,7 +553,7 @@ def _tree_moves_rank1(
         cur_mll = jnp.where(accept, new_mll, cur_mll)
         return (K_inv, K_logdet, v_y, quad, cur_mll), accept
 
-    if params.refresh_style != "factor":
+    if params.refresh_style not in ("factor", "leaf"):
         v_y0 = state.kern.K_inv @ y_flat
         quad0 = y_flat @ v_y0
 
@@ -575,7 +642,7 @@ def _tree_moves_rank1(
         cur_mll = jnp.where(accept, new_mll, cur_mll)
         return (P, Q, K_logdet, v_y, quad, cur_mll), accept
 
-    def tree_move_coeff(carry, inputs):
+    def tree_move_coeff(carry, inputs, cap=None):
         # Coefficient-space deferred update: every per-move quantity lives
         # in span(V0) with V0 = K0^-1 W_flat, so the scan NEVER touches an
         # N-sized operand at all. With the (2m, 2m) interaction matrix
@@ -592,8 +659,18 @@ def _tree_moves_rank1(
         # set; N appears only in the three hoisted MXU products. Same
         # Woodbury math as tree_move up to float association (accepts match
         # in f64, tested like lowrank).
-        S, d, K_logdet, quad, cur_mll = carry
-        Tv, Ej, t0, log_q_prior, log_u = inputs
+        #
+        # ``cap`` (static, refresh_style="leaf" only): compact leaf-slot
+        # budget R. The carry gains the running total leaf count and grow
+        # moves that would exceed R are MH-rejected — the principled
+        # truncation that keeps the leaf-space refresh's packing exact
+        # (see params.py leaf_budget notes).
+        if cap is None:
+            S, d, K_logdet, quad, cur_mll = carry
+            Tv, Ej, t0, log_q_prior, log_u = inputs
+        else:
+            S, d, K_logdet, quad, cur_mll, total = carry
+            Tv, Ej, t0, log_q_prior, log_u, delta = inputs
 
         c = Ej - S @ Tv  # (2m, 2)
         G = Tv.T @ c  # (2, 2); symmetric (S, Minv symmetric)
@@ -609,6 +686,8 @@ def _tree_moves_rank1(
 
         new_mll = 0.5 * (-quad2 - K_logdet2 + mll_corr)
         new_mll = jnp.where(denom2 > eps, new_mll, -jnp.inf)
+        if cap is not None:
+            new_mll = jnp.where(total + delta > cap, -jnp.inf, new_mll)
         log_alpha = log_q_prior + beta * (new_mll - cur_mll)
         accept = log_u <= jnp.minimum(log_alpha, 0.0)
 
@@ -617,6 +696,9 @@ def _tree_moves_rank1(
         K_logdet = jnp.where(accept, K_logdet2, K_logdet)
         quad = jnp.where(accept, quad2, quad)
         cur_mll = jnp.where(accept, new_mll, cur_mll)
+        if cap is not None:
+            total = total + jnp.where(accept, delta, 0)
+            return (S, d, K_logdet, quad, cur_mll, total), accept
         return (S, d, K_logdet, quad, cur_mll), accept
 
     scan_style = params.scan_style
@@ -652,7 +734,24 @@ def _tree_moves_rank1(
         m = params.num_trees
         m2 = 2 * m
         W_flat = W_all.transpose(1, 0, 2).reshape(-1, m2)  # (N, 2m)
-        if params.refresh_style == "factor":
+        if params.refresh_style == "leaf":
+            # leaf-factor carry: kern.K is chol(A), A = (nu/gamma) I_R +
+            # Z^T Z of the *current* kernel. Every hoisted product comes
+            # through K0^-1 = (1/nu)(I - Z A^-1 Z^T) (Woodbury), so the
+            # only sequential work is ONE (R, 2m+1)-RHS lower solve —
+            # substitution length R instead of N.
+            budget = _leaf_budget(params)
+            L_A = state.kern.K  # (R, R)
+            nu = JITTER + state.noise
+            col, total0 = _leaf_cols(state.forest, state.leaves)
+            Z = _leaf_Z(col, budget, mask, jnp.float32)
+            rhs = jnp.concatenate([Z.T @ W_flat, (Z.T @ y_flat)[:, None]], 1)
+            Ssol = jax.scipy.linalg.solve_triangular(L_A, rhs, lower=True)
+            Sw, s_y = Ssol[:, :-1], Ssol[:, -1]
+            Hm = (W_flat.T @ W_flat - Sw.T @ Sw) / nu
+            t0_all = ((W_flat.T @ y_flat - Sw.T @ s_y) / nu).reshape(m, 2)
+            quad0 = (y_flat @ y_flat - s_y @ s_y) / nu
+        elif params.refresh_style == "factor":
             # kern carries L (chol of K0), never K0^-1: every quantity the
             # coeff scan needs is a symmetric product through
             # K0^-1 = L^-T L^-1, so ONE lower-triangular solve with 2m+1
@@ -686,21 +785,43 @@ def _tree_moves_rank1(
         )  # (m, 2m, 2)
         zeros_S = jnp.zeros((m2, m2), dtype=Hm.dtype)
         zeros_d = jnp.zeros((m2,), dtype=Hm.dtype)
-        (_, _, K_logdet, _, cur_mll), accepts = jax.lax.scan(
-            tree_move_coeff,
-            (zeros_S, zeros_d, state.kern.K_logdet, quad0, state.mll),
-            (
-                Tv_all,
-                E_all,
-                t0_all,
-                batch.log_q_prior,
-                jnp.log(batch.u_accept),
-            ),
-            unroll=params.scan_unroll,
-        )
+        if params.refresh_style == "leaf":
+            delta = (
+                (batch.move == GROW).astype(jnp.int32)
+                - (batch.move == PRUNE).astype(jnp.int32)
+            )
+            (_, _, K_logdet, _, cur_mll, _), accepts = jax.lax.scan(
+                functools.partial(tree_move_coeff, cap=budget),
+                (zeros_S, zeros_d, state.kern.K_logdet, quad0, state.mll,
+                 total0),
+                (
+                    Tv_all,
+                    E_all,
+                    t0_all,
+                    batch.log_q_prior,
+                    jnp.log(batch.u_accept),
+                    delta,
+                ),
+                unroll=params.scan_unroll,
+            )
+        else:
+            (_, _, K_logdet, _, cur_mll), accepts = jax.lax.scan(
+                tree_move_coeff,
+                (zeros_S, zeros_d, state.kern.K_logdet, quad0, state.mll),
+                (
+                    Tv_all,
+                    E_all,
+                    t0_all,
+                    batch.log_q_prior,
+                    jnp.log(batch.u_accept),
+                ),
+                unroll=params.scan_unroll,
+            )
         # K_inv output is discarded by the rank1 refresh
         K_inv = (
-            _empty() if params.refresh_style == "factor" else K0_inv
+            _empty()
+            if params.refresh_style in ("factor", "leaf")
+            else K0_inv
         )
     elif scan_style == "aug":
         A0 = jnp.concatenate([state.kern.K_inv, v_y0[:, None]], axis=1)
@@ -844,6 +965,64 @@ def step(
             k_trees, state, X, y, mask, pad_count, bounds, feat_types, params,
             beta,
         )
+        if params.refresh_style == "leaf":
+            # N-free exact refresh: rebuild the COMPACT (N, R) leaf
+            # indicator Z from the post-move leaves and refactorize both
+            # MH branches in leaf space — one batched (2, R, R) Cholesky
+            # of A_b = (nu_b/gamma_b) I + Z^T Z. logdet and quadratic via
+            # the matrix-determinant lemma / Woodbury (the repo's tested
+            # oracles, ops/linalg.py:60-88):
+            #   logdet K_b = N log nu_b + R log(gamma_b/nu_b) + logdet A_b
+            #   y^T K_b^-1 y = (y^T y - ||L_Ab^-1 Z^T y||^2) / nu_b
+            # Zero compact columns (slots past the realized total) add
+            # log(nu/gamma) to logdet A and cancel exactly against the
+            # R log(gamma/nu) term, so padding the budget is inert. The
+            # (N, N) gram is never built; drift control is identical to
+            # the dense refresh (exact quantities once per step).
+            budget = _leaf_budget(params)
+            y_flat = y.reshape(-1)
+            col, _ = _leaf_cols(forest, leaves)
+            Z = _leaf_Z(col, budget, mask, jnp.float32)
+            G = Z.T @ Z  # (R, R) — shared by both branches
+            uz = Z.T @ y_flat
+            yy = y_flat @ y_flat
+            nu2 = jnp.stack([JITTER + state.noise, JITTER + new_noise])
+            gam2 = jnp.stack([state.scale, new_scale]) / params.num_trees
+            eyeR = jnp.eye(budget, dtype=G.dtype)
+            A2 = G[None] + (nu2 / gam2)[:, None, None] * eyeR
+            L2 = jnp.linalg.cholesky(A2)
+            logdet_A2 = 2.0 * jnp.sum(
+                jnp.log(jnp.diagonal(L2, axis1=-2, axis2=-1)), axis=-1
+            )
+            K_logdet2 = (
+                X.shape[0] * jnp.log(nu2)
+                + budget * jnp.log(gam2 / nu2)
+                + logdet_A2
+            )
+            s2 = jax.scipy.linalg.solve_triangular(
+                L2, jnp.broadcast_to(uz, (2, uz.size))[..., None], lower=True
+            )[..., 0]
+            quad2 = (yy - jnp.sum(s2 * s2, axis=-1)) / nu2
+            mll2 = 0.5 * (-quad2 - K_logdet2 + pad_count * jnp.log(nu2))
+            cur_mll, new_mll = mll2[0], mll2[1]
+
+            log_alpha = log_q_prior + beta * (new_mll - cur_mll)
+            u = jax.random.uniform(k_hyper_accept, dtype=jnp.float32)
+            accept = jnp.log(u) <= jnp.minimum(log_alpha, 0.0)
+            kern = KernState(
+                K=jnp.where(accept, L2[1], L2[0]),
+                K_inv=_empty(),
+                K_logdet=jnp.where(accept, K_logdet2[1], K_logdet2[0]),
+            )
+            return ChainState(
+                forest=forest,
+                leaves=leaves,
+                noise=jnp.where(accept, new_noise, state.noise),
+                scale=jnp.where(accept, new_scale, state.scale),
+                kern=kern,
+                mll=jnp.where(accept, new_mll, cur_mll),
+                subspaces=subs,
+            )
         # exact once-per-step refresh: rebuild the Gram matrix from the
         # maintained leaves and refactorize BOTH MH branches, so the
         # accept ratio uses exact quantities and Sherman-Morrison drift

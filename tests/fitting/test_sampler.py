@@ -151,6 +151,10 @@ def test_hot_styles_agree_on_trajectory():
         "coeff_factor_bf16": dict(
             scan_style="coeff", refresh_style="factor", gram_dtype="bf16"
         ),
+        # leaf refresh factorizes in compact leaf-indicator space (the
+        # (N, N) gram is never built) — Woodbury/determinant-lemma math,
+        # same trajectories at these scales
+        "coeff_leaf": dict(scan_style="coeff", refresh_style="leaf"),
         # auto resolves to plain at this padded N (< 256) — must be
         # bit-identical to the reference lowering
         "auto_scan": dict(scan_style="auto"),
@@ -173,7 +177,8 @@ def test_hot_styles_agree_on_trajectory():
     ref = out["scatter"]
     for name in ("walk_select", "select", "select_fused", "doubling",
                  "doubling_fused", "aug_scan", "lowrank_scan", "coeff_scan",
-                 "coeff_factor", "coeff_factor_bf16", "auto_scan"):
+                 "coeff_factor", "coeff_factor_bf16", "coeff_leaf",
+                 "auto_scan"):
         np.testing.assert_array_equal(
             np.asarray(ref.forest.threshold),
             np.asarray(out[name].forest.threshold),
@@ -315,3 +320,61 @@ def test_auto_scan_resolves_to_lowrank_at_large_n():
     np.testing.assert_array_equal(
         np.asarray(out["auto"].noise), np.asarray(out["lowrank"].noise)
     )
+
+
+def test_leaf_refresh_padded_matches_unpadded():
+    """refresh_style="leaf": padded rows must be inert (Z rows zeroed; the
+    logdet/quad corrections keep accept ratios exact), like the dense path."""
+    dom, X, y = make_problem(n=18, seed=5)
+    bounds = jnp.asarray(dom.bounds("bitmask"))
+    ft = jnp.asarray(dom.feature_types())
+    params = SamplerParams(
+        warmup_steps=3, num_samples=2, steps_per_sample=2, num_chains=1,
+        num_trees=5, scan_style="coeff", refresh_style="leaf",
+    )
+    forest = create_empty_forest(5, params.node_limit, batch_shape=(1,))
+    model = BARKModel(forest, jnp.full((1,), 0.1), jnp.ones((1,)))
+    plain = run_bark_sampler(jax.random.key(3), model, X, y, bounds, ft, params)
+    pad = 14
+    X_pad = jnp.concatenate([X, jnp.tile(X[:1], (pad, 1))])
+    y_pad = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+    mask = jnp.concatenate([jnp.ones(18), jnp.zeros(pad)]).astype(jnp.float32)
+    padded = run_bark_sampler(
+        jax.random.key(3), model, X_pad, y_pad, bounds, ft, params, mask=mask
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.forest.threshold), np.asarray(padded.forest.threshold)
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain.noise), np.asarray(padded.noise), rtol=1e-5
+    )
+
+
+def test_leaf_refresh_capacity_guard():
+    """With a leaf_budget barely above the initial leaf count, the move scan
+    must MH-reject grows at capacity: total leaves never exceed the budget
+    and the chain stays finite (the truncated-prior semantics, params.py)."""
+    from bark_tpu.fitting.traversal import terminal_mask
+
+    dom, X, y = make_problem(n=20, seed=8)
+    bounds = jnp.asarray(dom.bounds("bitmask"))
+    ft = jnp.asarray(dom.feature_types())
+    m = 5
+    forest0 = jax.tree.map(
+        lambda a: a[0], create_empty_forest(m, 32, batch_shape=(1,))
+    )
+    cap = m + 2  # room for exactly two grows across the whole forest
+    params = SamplerParams(
+        num_trees=m, node_limit=32, scan_style="coeff", refresh_style="leaf",
+        leaf_budget=cap,
+    )
+    st = init_chain_state(
+        forest0, 0.1, 1.0, X, y, ft, params, bounds=bounds
+    )
+    for i in range(25):
+        st = step(jax.random.key(100 + i), st, X, y, bounds, ft, params)
+        total = int(np.asarray(terminal_mask(st.forest).sum()))
+        assert total <= cap, (i, total, cap)
+        assert np.isfinite(float(st.mll))
+    # the guard must not have frozen the chain entirely: some structure moved
+    assert int(np.asarray(terminal_mask(st.forest).sum())) >= m
