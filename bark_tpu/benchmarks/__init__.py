@@ -3,16 +3,17 @@
 Parity: src/bofire_mixed/benchmarks/__init__.py:23-59 — the same registry
 names resolve through ``map_benchmark``. SVRBench runs on the real CSV when
 present and otherwise on a synthetic slice-localization-shaped substitute
-(svr_bench.py — the blob is absent from the reference checkout itself, see
-its .MISSING_LARGE_BLOBS); CCOBench stays stubbed with an informative error
-(its powermap blobs are unsubstitutable); DatasetBenchmark is live with a
-pluggable data source (DataFrame/CSV, or the ucimlrepo fetcher when
-importable).
+(svr_bench.py); CCOBench runs on the real powermap blobs when present and
+otherwise on synthetic 3GPP-style powermaps (cco.py) — both blobs are
+absent from the reference checkout itself, see its .MISSING_LARGE_BLOBS.
+DatasetBenchmark is live with a pluggable data source (DataFrame/CSV, or
+the ucimlrepo fetcher when importable).
 """
 
 from bark_tpu.benchmarks.base import BENCHMARK_MAP, Benchmark, map_benchmark
 
 # importing registers each benchmark
+from bark_tpu.benchmarks import cco as _cco  # noqa: F401
 from bark_tpu.benchmarks import constrained as _constrained  # noqa: F401
 from bark_tpu.benchmarks import dataset as _dataset  # noqa: F401
 from bark_tpu.benchmarks import hartmann as _hartmann  # noqa: F401
@@ -27,20 +28,4 @@ from bark_tpu.benchmarks import tree_function as _tree_function  # noqa: F401
 from bark_tpu.benchmarks import unconstrained as _unconstrained  # noqa: F401
 
 
-def _unavailable(name: str, reason: str):
-    class _Missing(Benchmark):
-        def __init__(self, **kwargs):
-            raise RuntimeError(f"Benchmark {name} unavailable: {reason}")
-
-    _Missing.__name__ = name
-    BENCHMARK_MAP[name] = _Missing
-
-
-# parity with the reference checkout's own gaps (SVRBench is now live via
-# a synthetic-data fallback, bark_tpu/benchmarks/svr_bench.py):
-_unavailable(
-    "CCOBench",
-    "cellular-coverage powermap blobs are absent from the reference checkout "
-    "(.MISSING_LARGE_BLOBS)",
-)
 __all__ = ["BENCHMARK_MAP", "Benchmark", "map_benchmark"]

@@ -11,10 +11,11 @@ import pytest
 from bark_tpu.benchmarks import BENCHMARK_MAP, map_benchmark
 from bark_tpu.constraints import total_violation
 
-UNAVAILABLE = {"CCOBench"}
+UNAVAILABLE = set()
 NEEDS_DATA = {"DatasetBenchmark"}
-# train a real model per evaluation; SVRBench has its own sized-down test
-SLOW = {"XGBoostMNIST", "SVRBench"}
+# train a real model per evaluation (or, CCOBench, synthesize raster maps
+# at construction); SVRBench/CCOBench have their own sized-down tests
+SLOW = {"XGBoostMNIST", "SVRBench", "CCOBench"}
 
 
 @pytest.mark.parametrize(
@@ -54,10 +55,87 @@ def test_benchmark_optima_consistent(name):
     np.testing.assert_allclose(y[0], f_opt, rtol=2e-3, atol=1e-3)
 
 
-def test_unavailable_benchmarks_raise_informatively():
-    for name in UNAVAILABLE:
-        with pytest.raises(RuntimeError, match="unavailable"):
-            map_benchmark(name)
+def test_cco_bench_synthetic_fallback():
+    """CCOBench (cco.py) runs end-to-end on synthetic 3GPP-style powermaps
+    when the reference's blobs are absent, with the reference's domain and
+    objective semantics (cellular_network.py:42-66,109-137)."""
+    bench = map_benchmark("CCOBench")
+    assert "synthetic" in bench.data_source
+    assert len(bench.domain.inputs) == 30  # 15 downtilts + 15 powers
+    assert bench.simulator.num_total_sectors == 15
+    rng = np.random.default_rng(0)
+    X = bench.domain.sample(4, rng)
+    y = bench.f(X)
+    assert y.shape == (4,) and np.all((y >= 0) & (y <= 1))
+    np.testing.assert_array_equal(y, bench.f(X))  # deterministic
+
+    # physics sanity: max TX power everywhere eliminates weak coverage but
+    # inflates over-coverage (the tension the benchmark optimizes)
+    lo = np.concatenate([np.full((1, 15), 2.0), np.full((1, 15), 30.0)], 1)
+    hi = np.concatenate([np.full((1, 15), 2.0), np.full((1, 15), 50.0)], 1)
+    r_lo, i_lo, _ = bench.simulator.powermaps(lo[:, :15] * 2, lo[:, 15:])
+    r_hi, i_hi, _ = bench.simulator.powermaps(hi[:, :15] * 2, hi[:, 15:])
+    w_lo, o_lo = bench.formulation.area_percentages(r_lo, i_lo)
+    w_hi, o_hi = bench.formulation.area_percentages(r_hi, i_hi)
+    assert w_hi[0] <= w_lo[0] and o_hi[0] >= o_lo[0]
+
+    # n_int_values=11 uses raw downtilts (no x2 rescale)
+    b11 = map_benchmark("CCOBench", n_int_values=11)
+    assert b11.f(b11.domain.sample(2, rng)).shape == (2,)
+    with pytest.raises(ValueError):
+        map_benchmark("CCOBench", n_int_values=7)
+
+
+def test_cco_simulator_against_hand_oracle():
+    """RSRPSimulator on a hand-built 2-sector map: serving-cell max,
+    watt-domain interference, and fractional-downtilt lerp all match a
+    direct computation (parity: simulated_rsrp.py:345-399,428-458)."""
+    from bark_tpu.benchmarks.cco import RSRPSimulator, dbm_to_watt, watt_to_dbm
+
+    rng = np.random.default_rng(3)
+    maps = {}
+    for dt in range(3):
+        pwr = rng.uniform(-100.0, -60.0, size=(4, 4, 2)).astype(np.float32)
+        maps[dt] = {
+            "x": np.arange(4.0),
+            "y": np.arange(4.0),
+            "z": np.float64(1.5),
+            "ptx": np.float64(1.0),  # 30 dBm
+            "Tx1pwr": pwr + 30.0,
+            "Tx1loc": np.zeros(3),
+        }
+    sim = RSRPSimulator(maps)
+    assert sim.num_total_sectors == 2
+
+    tx = np.array([[33.0, 41.0]])
+    # integer downtilts: exact map lookup
+    rsrp, intf, serving = sim.powermaps(np.array([[1.0, 2.0]]), tx)
+    rx0 = maps[1]["Tx1pwr"][:, :, 0] - 30.0 + 33.0
+    rx1 = maps[2]["Tx1pwr"][:, :, 1] - 30.0 + 41.0
+    np.testing.assert_allclose(rsrp[0], np.maximum(rx0, rx1), rtol=1e-6)
+    np.testing.assert_array_equal(serving[0], (rx1 > rx0).astype(int))
+    expect_intf = watt_to_dbm(
+        np.maximum(
+            1e-24,
+            dbm_to_watt(rx0) + dbm_to_watt(rx1)
+            - dbm_to_watt(np.maximum(rx0, rx1)),
+        )
+    )
+    np.testing.assert_allclose(intf[0], expect_intf, rtol=1e-5)
+
+    # fractional downtilt: linear interpolation of the per-sector map
+    rsrp_h, _, _ = sim.powermaps(np.array([[0.25, 2.0]]), tx)
+    rx0_h = (
+        0.75 * maps[0]["Tx1pwr"][:, :, 0] + 0.25 * maps[1]["Tx1pwr"][:, :, 0]
+        - 30.0 + 33.0
+    )
+    np.testing.assert_allclose(rsrp_h[0], np.maximum(rx0_h, rx1), rtol=1e-5)
+
+    # out-of-range guards (simulated_rsrp.py:364-369)
+    with pytest.raises(ValueError):
+        sim.powermaps(np.array([[0.0, 5.0]]), tx)
+    with pytest.raises(ValueError):
+        sim.powermaps(np.array([[0.0, 1.0]]), np.array([[20.0, 40.0]]))
 
 
 def test_dataset_benchmark_roundtrip():
