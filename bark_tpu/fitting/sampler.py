@@ -69,6 +69,7 @@ from bark_tpu.forest import (
     Forest,
     _split_decision,
     gram_from_leaves,
+    leaf_onehot,
     pack_forest,
     route_forest,
     route_forest_select,
@@ -124,37 +125,45 @@ def _leaf_budget(params: SamplerParams) -> int:
     return max(128, -(-6 * params.num_trees // 128) * 128)
 
 
-def _leaf_cols(forest: Forest, leaves: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Compact leaf-column index per (point, tree), plus total leaf count.
+def _leaf_Z(
+    forest: Forest, leaves: jax.Array, budget: int, mask: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """(N, R) compact leaf-indicator matrix + total leaf count.
 
     Tree j's active leaves are ranked in node order and packed at offset
-    ``sum_{j'<j} num_leaves(j')``; ``col[i, j]`` is the compact column of
-    the leaf that point i occupies in tree j. The compact indicator matrix
-    Z (N, R) then satisfies ``Z Z^T == m * gram`` exactly (same products as
-    the (N, m*node_limit) one-hot of gram_from_leaves — the packing is
-    injective on active leaves whenever total <= R).
+    ``sum_{j'<j} num_leaves(j')``. The compact indicator matrix Z then
+    satisfies ``Z Z^T == m * gram`` exactly (same products as the
+    (N, m*node_limit) one-hot of gram_from_leaves — the packing is
+    injective on active leaves whenever total <= R; the move scan's
+    capacity guard keeps it there, and overflowing slots project to
+    nothing, the inert failure mode). Padded rows are zeroed.
+
+    Lowering: ONE MXU matmul ``E @ P`` of the per-node one-hot E (N, m*L)
+    against a (m*L, R) 0/1 projection built from the per-tree leaf ranks —
+    bf16 operands, f32 accumulation, bit-exact counts. Losing variants,
+    both measured on the full bench at (64 chains, N=1024, m=50),
+    results/ab_r4/ab_leaf.jsonl: per-row scatter-add (~90 ms/step — TPU
+    scatters again, the CLAUDE.md lesson) and a rank-gather + compare-
+    reduce (two (N, m) take_along_axis gathers ~30 ms each — the same
+    gather-vs-matmul lowering gap as route_forest_select).
     """
+    m, node_limit = forest.is_leaf.shape[-2:]
     tmask = terminal_mask(forest)  # (m, node_limit) bool
     ranks = jnp.cumsum(tmask, axis=-1).astype(jnp.int32) - 1
     counts = jnp.sum(tmask, axis=-1).astype(jnp.int32)  # (m,)
     base = jnp.cumsum(counts) - counts  # exclusive prefix
-    # col[i, j] = base[j] + ranks[j, leaves[i, j]]
-    r = jnp.take_along_axis(ranks.T, leaves, axis=0)  # (N, m)
-    return base[None, :] + r, jnp.sum(counts)
-
-
-def _leaf_Z(col: jax.Array, budget: int, mask: jax.Array, dtype) -> jax.Array:
-    """(N, R) compact leaf-indicator matrix from compact columns.
-
-    One scatter-add per step (distinct columns per row — trees occupy
-    disjoint slot ranges); out-of-budget columns are dropped, not clamped
-    (the move scan's capacity guard makes that unreachable; drop is the
-    inert failure mode). Padded rows are zeroed like gram_from_leaves.
-    """
-    n = col.shape[0]
-    Z = jnp.zeros((n, budget), dtype)
-    Z = Z.at[jnp.arange(n)[:, None], col].add(1.0, mode="drop")
-    return Z * mask[:, None].astype(dtype)
+    # non-leaf slots target index R -> one_hot gives an all-zero row
+    target = jnp.where(tmask, base[:, None] + ranks, budget)
+    P = jax.nn.one_hot(target.reshape(-1), budget, dtype=jnp.bfloat16)
+    E = leaf_onehot(leaves, node_limit, jnp.bfloat16).reshape(
+        leaves.shape[0], m * node_limit
+    )
+    Z = jax.lax.dot_general(
+        E, P,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return Z * mask[:, None], jnp.sum(counts)
 
 
 class KernState(NamedTuple):
@@ -318,8 +327,7 @@ def init_chain_state(
         y_flat = y.reshape(-1)
         nu = JITTER + noise
         gamma = scale / params.num_trees
-        col, _ = _leaf_cols(forest, leaves)
-        Z = _leaf_Z(col, budget, mask, jnp.float32)
+        Z, _ = _leaf_Z(forest, leaves, budget, mask)
         A = Z.T @ Z + (nu / gamma) * jnp.eye(budget, dtype=jnp.float32)
         L_A = jnp.linalg.cholesky(A)
         logdet_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_A)))
@@ -743,8 +751,7 @@ def _tree_moves_rank1(
             budget = _leaf_budget(params)
             L_A = state.kern.K  # (R, R)
             nu = JITTER + state.noise
-            col, total0 = _leaf_cols(state.forest, state.leaves)
-            Z = _leaf_Z(col, budget, mask, jnp.float32)
+            Z, total0 = _leaf_Z(state.forest, state.leaves, budget, mask)
             rhs = jnp.concatenate([Z.T @ W_flat, (Z.T @ y_flat)[:, None]], 1)
             Ssol = jax.scipy.linalg.solve_triangular(L_A, rhs, lower=True)
             Sw, s_y = Ssol[:, :-1], Ssol[:, -1]
@@ -981,8 +988,7 @@ def step(
             # the dense refresh (exact quantities once per step).
             budget = _leaf_budget(params)
             y_flat = y.reshape(-1)
-            col, _ = _leaf_cols(forest, leaves)
-            Z = _leaf_Z(col, budget, mask, jnp.float32)
+            Z, _ = _leaf_Z(forest, leaves, budget, mask)
             G = Z.T @ Z  # (R, R) — shared by both branches
             uz = Z.T @ y_flat
             yy = y_flat @ y_flat

@@ -81,9 +81,14 @@ def build_acquisition(
     y = train_y.reshape(-1)
 
     n_null = num_null_trees(forest).astype(jnp.float32)
+    # train routing by backend, like evaluate_acquisition: the gather walk
+    # loses badly to the one-hot transition matmuls on TPU (bit-identical)
+    route = (
+        route_forest_select if jax.default_backend() == "tpu" else route_forest
+    )
 
     def per_sample(tree_sample: Forest, noise_s, scale_s, n_null_s):
-        leaves = route_forest(tree_sample, train_x, feat_types, max_depth)
+        leaves = route(tree_sample, train_x, feat_types, max_depth)
         gram = gram_from_leaves(
             leaves, leaves, node_limit, train_mask, train_mask
         )
@@ -226,7 +231,7 @@ def _compact_onehot(
     return h.reshape(crank.shape[0], -1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth",))
+@functools.partial(jax.jit, static_argnames=("max_depth", "row_block"))
 def build_acquisition_lr(
     model: BARKModel,
     train_x: jax.Array,
@@ -234,6 +239,7 @@ def build_acquisition_lr(
     feat_types: jax.Array,
     max_depth: int = 16,
     train_mask: jax.Array | None = None,
+    row_block: int | None = None,
 ) -> AcquisitionStateLR:
     """Build the factored acquisition state; never materializes anything NxN.
 
@@ -241,6 +247,17 @@ def build_acquisition_lr(
     ``build_acquisition`` + ``evaluate_acquisition`` scores — tested at
     N=512 — but O(N r) memory and O(N r²) one-time build work, with
     N-independent scoring.
+
+    ``row_block`` (None = auto: 4096 once N > 4096, off below) accumulates
+    the Gram/projection sufficient statistics ``(G, u)`` over row blocks in
+    a ``lax.scan``: peak build memory drops from O(N r) (the (N, r)
+    indicator matrix, 105 MB/sample bf16 at N=32768) to O(r²) + one block,
+    and the one-shot XLA program that previously grew linearly in N
+    (33.2 s warm at N=32768, results/acq_lr/ask_latency.json) becomes a
+    loop over identical block programs. Train routing also dispatches to
+    the one-hot transition-matmul router on TPU (route_forest_select, the
+    same bit-identical swap evaluate_acquisition makes — the gather walk
+    was 1.16 s of a 1.56 s scoring call at B=4096).
     """
     m, node_limit = model.forest.num_trees, model.forest.node_limit
     max_leaves = (node_limit + 1) // 2
@@ -253,23 +270,68 @@ def build_acquisition_lr(
     y = train_y.reshape(-1).astype(jnp.float32)
     n_null = num_null_trees(forest).astype(jnp.float32)
 
+    n = train_x.shape[0]
+    if row_block is None:
+        row_block = 4096 if n > 4096 else 0
+    if row_block and n > row_block:
+        pad = (-n) % row_block
+        train_x = jnp.pad(train_x, ((0, pad), (0, 0)))
+        y = jnp.pad(y, (0, pad))
+        train_mask = jnp.pad(train_mask, (0, pad))  # zero mask rows: inert
+        nb = (n + pad) // row_block
+        x_blocks = train_x.reshape(nb, row_block, -1)
+        y_blocks = y.reshape(nb, row_block)
+        m_blocks = train_mask.reshape(nb, row_block)
+    else:
+        row_block = 0
+
+    route = (
+        route_forest_select if jax.default_backend() == "tpu" else route_forest
+    )
+
     def per_sample(tree_sample: Forest, noise_s, scale_s, n_null_s):
-        leaves = route_forest(tree_sample, train_x, feat_types, max_depth)
         leaf_rank = _leaf_ranks(tree_sample, max_leaves)
-        # crank[n, t] = leaf_rank[t, leaves[n, t]]
-        crank = jnp.take_along_axis(leaf_rank, leaves.T, axis=1).T  # (N, m)
         nonnull = ~tree_sample.is_leaf[:, 0]  # (m,)
 
-        # 0/1 indicators in bf16: products are exact and the MXU matmul
-        # accumulates in float32, so G holds exact co-occurrence counts.
-        Z01 = _compact_onehot(crank, nonnull, max_leaves, jnp.bfloat16)
-        Z01 = Z01 * train_mask[:, None].astype(Z01.dtype)
-        G = jax.lax.dot_general(
-            Z01,
-            Z01,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (r, r) exact counts
+        def block_stats(xb, yb, mb):
+            """(G, u) contributions of one row block — 0/1 indicators in
+            bf16: products are exact and the MXU matmul accumulates in
+            float32, so G holds exact co-occurrence counts."""
+            leaves = route(tree_sample, xb, feat_types, max_depth)
+            # crank[n, t] = leaf_rank[t, leaves[n, t]]
+            crank = jnp.take_along_axis(leaf_rank, leaves.T, axis=1).T
+            Z01 = _compact_onehot(crank, nonnull, max_leaves, jnp.bfloat16)
+            Z01 = Z01 * mb[:, None].astype(Z01.dtype)
+            Gb = jax.lax.dot_general(
+                Z01,
+                Z01,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (r, r) exact counts
+            ub = jax.lax.dot_general(
+                Z01.astype(jnp.float32),
+                (yb * mb)[:, None],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, 0]  # Z01ᵀ y  (r,)
+            return Gb, ub
+
+        if row_block:
+            def body(carry, xs):
+                G_acc, u_acc = carry
+                Gb, ub = block_stats(*xs)
+                return (G_acc + Gb, u_acc + ub), ()
+
+            (G, u), _ = jax.lax.scan(
+                body,
+                (
+                    jnp.zeros((r, r), jnp.float32),
+                    jnp.zeros((r,), jnp.float32),
+                ),
+                (x_blocks, y_blocks, m_blocks),
+            )
+        else:
+            G, u = block_stats(train_x, y, train_mask)
 
         nn = jnp.maximum(m - n_null_s, 1.0)
         sigma2 = 1.0 / nn  # sigma_z^2
@@ -281,13 +343,6 @@ def build_acquisition_lr(
         V = jax.scipy.linalg.solve_triangular(
             Lm, jnp.eye(r, dtype=jnp.float32), lower=True
         )  # Lm^{-1}
-
-        u = jax.lax.dot_general(
-            Z01.astype(jnp.float32),
-            (y * train_mask)[:, None],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[:, 0]  # Z01ᵀ y  (r,)
         sigma_z = jnp.sqrt(sigma2) * jnp.where(n_null_s >= m, 0.0, 1.0)
         t = jax.scipy.linalg.solve_triangular(Lm, sigma_z * u, lower=True)
         beta_raw = (

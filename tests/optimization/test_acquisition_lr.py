@@ -168,3 +168,29 @@ def test_strategy_lowrank_ask():
     bounds = dom.bounds("ordinal")
     assert (cand[0] >= bounds[:, 0] - 1e-9).all()
     assert (cand[0] <= bounds[:, 1] + 1e-9).all()
+
+
+def test_lr_blocked_build_matches_unblocked():
+    """row_block accumulation of (G, u) must score identically to the
+    one-shot build (counts are exact integer sums in f32; only the u
+    reassociation differs), including a block size that forces padding."""
+    bench = TreeFunction(dim=3, function_seed=5)
+    dom = bench.domain
+    rng = np.random.default_rng(2)
+    N = 300  # not a multiple of the block -> exercises the zero-mask pad
+    X = jnp.asarray(dom.sample(N, rng))
+    y = jnp.asarray(bench.f(np.asarray(X)))
+    ft = jnp.asarray(dom.feature_types())
+    model = _prior_model(dom)
+
+    base = build_acquisition_lr(model, X, y, ft, max_depth=MAX_DEPTH)
+    for blk in (64, 128):
+        blocked = build_acquisition_lr(
+            model, X, y, ft, max_depth=MAX_DEPTH, row_block=blk
+        )
+        C = jnp.asarray(dom.sample(64, rng))
+        s0 = evaluate_acquisition(base, C, ft, max_depth=MAX_DEPTH)
+        s1 = evaluate_acquisition(blocked, C, ft, max_depth=MAX_DEPTH)
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s0), rtol=1e-5, atol=1e-5
+        )
