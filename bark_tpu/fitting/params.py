@@ -89,6 +89,12 @@ class SamplerParams:
     hot_style: str = "walk_select"
 
     # rank1 backend: lowering of the once-per-step exact refresh.
+    #   "auto" (default) — resolve by padded N at trace time to the
+    #     measured full-bench winner (sampler._resolve_styles): "leaf"
+    #     once N >= 512, "pair" below. A/Bs on TPU v5e, 64 chains
+    #     (results/ab_r4/ab_leaf.jsonl): leaf-vs-best-dense steps/s/chip
+    #     N=512 2982 vs 1935, N=1024 2458 vs 863; dense wins at N=50
+    #     (7216 vs 5166) and N=200 (3665 vs 3347).
     #   "pair" — two chol_inv_logdet calls (cur/new); the N-RHS triangular
     #     solve inside each lowers to a ~2.5 ms serial substitution fusion
     #     on TPU, twice per step — the single largest cost after the
@@ -99,7 +105,14 @@ class SamplerParams:
     #     solves; the N-RHS inverse solve runs once on the selected
     #     branch's factor. MLL via ||L^-1 y||^2 (same math; last-ulp
     #     association differs from the inverse-based form).
-    refresh_style: str = "pair"
+    #   "factor" — the r3 inverse-free (N, N) factor carry; measured loser
+    #     to both "pair"-at-chol_block=0 and "leaf" everywhere it appears
+    #     (854.57 vs 863.46 at N=1024; 7128 vs 7207 at N=50 —
+    #     results/ab_r3/ab_factor.jsonl); kept as the structural stepping
+    #     stone the leaf refresh builds on and for its tests.
+    #   "leaf" — N-free refresh in compact leaf-indicator space (see the
+    #     leaf_budget notes below); requires the coeff scan.
+    refresh_style: str = "auto"
 
     # rank1 move-scan carry: "plain" keeps (K_inv, v_y) separate; "aug"
     # carries the augmented [K_inv | v_y] so one fused (N,2)@(2,N+1)
@@ -116,7 +129,10 @@ class SamplerParams:
     # dominates (hoisting V0 added just +0.6% over the in-scan read).
     # Same math up to float association (accepts match in f64, tested;
     # not bit-identical in f32). "auto" (default) resolves by the padded
-    # N at trace time: lowrank at N >= 256, plain below.
+    # N at trace time (sampler._resolve_styles): coeff at N >= 1024
+    # (beats lowrank 863 vs 839, results/ab_r3/ab_factor.jsonl + the r4
+    # confirmations), lowrank at 256-1023, plain below; forced to coeff
+    # whenever the refresh style is factor/leaf.
     scan_style: str = "auto"
 
     # refresh_style="leaf" (requires scan_style="coeff") replaces the
@@ -133,11 +149,15 @@ class SamplerParams:
     # move scan enforces that by MH-rejecting grow moves at capacity — a
     # principled truncation of the tree prior (the reference truncates the
     # same way per-tree at node_limit, src/bark/fitting/tree_proposals.py:58)
-    # that is statistically invisible at the default budget (posterior
-    # forests average ~2.5 leaves/tree => ~m*2.5 total vs R >= 384).
+    # that is statistically invisible at the default budget (measured
+    # un-truncated posterior totals at the bench config: mean 130-155,
+    # max 171 across N=200..1024 — results/ab_r4/leaf_totals.json).
     #
     # leaf_budget: total compact leaf slots R. 0 (auto) resolves to
-    # max(128, ceil(6*num_trees/128)*128) — 384 at m=50.
+    # max(128, ceil(5*num_trees/128)*128) — 256 at m=50, ~1.5x the
+    # measured posterior maximum, and faster than 384 on the full bench
+    # at every measured N. Budgets below the realized totals make the
+    # capacity guard truncate the posterior for speed — don't.
     leaf_budget: int = 0
 
     # rank1 move-scan unroll factor (lax.scan ``unroll``). The scan is
@@ -186,7 +206,9 @@ class SamplerParams:
         "kernel_backend": ("rank1", "chol", "woodbury"),
         "subspace_mode": ("walk", "carry"),
         "hot_style": ("walk_select", "scatter", "select", "doubling"),
-        "refresh_style": ("pair", "batched", "onesolve", "factor", "leaf"),
+        "refresh_style": (
+            "auto", "pair", "batched", "onesolve", "factor", "leaf"
+        ),
         "scan_style": ("plain", "aug", "lowrank", "coeff", "auto"),
         "gram_dtype": ("f32", "bf16"),
         "chol_impl": ("auto", "xla", "pallas"),
@@ -201,14 +223,18 @@ class SamplerParams:
                 raise ValueError(
                     f"SamplerParams.{name}={value!r}: must be one of {allowed}"
                 )
-        if self.refresh_style in ("factor", "leaf") and self.scan_style != "coeff":
+        if self.refresh_style in ("factor", "leaf") and self.scan_style not in (
+            "coeff",
+            "auto",
+        ):
             # the factor/leaf carries store a Cholesky factor where other
             # scans expect K^-1; only the coefficient-space scan consumes
             # the kernel exclusively through symmetric products, which is
-            # what makes the inverse-free carries possible.
+            # what makes the inverse-free carries possible ("auto" resolves
+            # to coeff under these refreshes, sampler._resolve_styles).
             raise ValueError(
                 f'refresh_style="{self.refresh_style}" requires '
-                'scan_style="coeff"'
+                'scan_style="coeff" (or "auto")'
             )
         if not (isinstance(self.leaf_budget, int) and self.leaf_budget >= 0):
             raise ValueError(

@@ -115,14 +115,51 @@ def _refresh_chol(params: SamplerParams, n: int) -> tuple[int, str]:
 def _leaf_budget(params: SamplerParams) -> int:
     """Compact leaf-slot count R for refresh_style="leaf" (trace-time).
 
-    Auto (leaf_budget=0): 128-aligned, >= 6 leaves/tree on average (384 at
-    m=50) — far above the posterior's ~2.5 leaves/tree under the depth
-    prior alpha(1+d)^-beta, so the capacity MH-guard essentially never
-    fires (see params.py leaf_budget notes).
+    Auto (leaf_budget=0): 128-aligned, >= 5 leaves/tree on average (256 at
+    m=50). Measured posterior totals at the bench config (dense sampler,
+    no truncation, results/ab_r4/leaf_totals.json): mean 130 / max 143 at
+    N=200 and mean 155 / max 171 at N=1024 — so 256 leaves ~1.5x headroom
+    over the observed maximum and the capacity MH-guard essentially never
+    fires, while the tighter budget beats 384 on the full bench at every
+    measured N (results/ab_r4/ab_leaf.jsonl). Do NOT drop the floor below
+    the realized totals: R=128 at m=50 measured faster still, but it sits
+    BELOW the posterior mean — the guard then truncates constantly and
+    the chain no longer samples the intended posterior.
     """
     if params.leaf_budget > 0:
         return params.leaf_budget
-    return max(128, -(-6 * params.num_trees // 128) * 128)
+    return max(128, -(-5 * params.num_trees // 128) * 128)
+
+
+def _resolve_styles(params: SamplerParams, n: int) -> SamplerParams:
+    """Trace-time resolution of the measured-best lowering per padded N.
+
+    Idempotent; called at every public entry (init_chain_state / step) so
+    direct callers and the chain drivers agree. All thresholds are from
+    full-bench A/Bs on TPU v5e at 64 chains (results/ab_r4/ab_leaf.jsonl,
+    results/ab_r3/ab_{coeff,factor}.jsonl):
+
+      - refresh "auto" -> "leaf" once padded N >= 512 (leaf-space refresh
+        wins 2982-vs-1935 at N=512 and 2458-vs-863 at N=1024; dense "pair"
+        wins below: 7216-vs-5166 at N=50, 3665-vs-3347 at N=200);
+      - factor/leaf refreshes force the coeff scan (the only scan that
+        consumes the kernel through symmetric products);
+      - scan "auto" (dense refreshes) -> coeff at N >= 1024 (863 vs 839
+        lowrank), lowrank at 256-1023 (1007 vs 971 plain at 512), plain
+        below (5510 vs 5393 at 50).
+    """
+    if params.kernel_backend != "rank1":
+        return params
+    scan, refresh = params.scan_style, params.refresh_style
+    if refresh == "auto":
+        refresh = "leaf" if n >= 512 else "pair"
+    if refresh in ("factor", "leaf"):
+        scan = "coeff"
+    elif scan == "auto":
+        scan = "coeff" if n >= 1024 else ("lowrank" if n >= 256 else "plain")
+    if (scan, refresh) == (params.scan_style, params.refresh_style):
+        return params
+    return params.with_(scan_style=scan, refresh_style=refresh)
 
 
 def _leaf_Z(
@@ -282,6 +319,7 @@ def init_chain_state(
     """
     if bounds is None:
         raise ValueError("init_chain_state requires the domain bounds array")
+    params = _resolve_styles(params, X.shape[0])
     if mask is None:
         mask = jnp.ones((X.shape[0],), jnp.float32)
     pad_count = X.shape[0] - jnp.sum(mask)
@@ -489,6 +527,9 @@ def _tree_moves_rank1(
     refactorizes both MH branches), and a ``denom <= eps`` guard turns
     round-off-broken updates into rejections.
     """
+    # step() resolves styles before dispatching here; re-resolving is
+    # idempotent and protects direct internal callers
+    params = _resolve_styles(params, X.shape[0])
     half_s_over_m = jnp.sqrt(state.scale / (2.0 * params.num_trees))
     eps = jnp.float32(1e-6)
     packed0, batch = _propose_all_trees(key, state, X, feat_types, bounds, params)
@@ -710,12 +751,6 @@ def _tree_moves_rank1(
         return (S, d, K_logdet, quad, cur_mll), accept
 
     scan_style = params.scan_style
-    if scan_style == "auto":
-        # padded N is static under jit: pick the measured winner per regime
-        # (full-bench A/B, params.py scan_style notes) — the deferred
-        # low-rank carry wins once the (N,N) write dominates, the plain
-        # carry fuses better at bucket-sized N.
-        scan_style = "lowrank" if state.kern.K_inv.shape[0] >= 256 else "plain"
     if scan_style == "lowrank":
         K0_inv = state.kern.K_inv
         n = K0_inv.shape[0]
@@ -930,6 +965,7 @@ def step(
     Parity: src/bark/fitting/bark_sampler.py:216-284. ``beta`` tempers the
     likelihood (beta=1 is the reference posterior).
     """
+    params = _resolve_styles(params, X.shape[0])
     if mask is None:
         mask = jnp.ones((X.shape[0],), jnp.float32)
     pad_count = X.shape[0] - jnp.sum(mask)

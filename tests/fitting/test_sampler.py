@@ -378,3 +378,38 @@ def test_leaf_refresh_capacity_guard():
         assert np.isfinite(float(st.mll))
     # the guard must not have frozen the chain entirely: some structure moved
     assert int(np.asarray(terminal_mask(st.forest).sum())) >= m
+
+
+def test_auto_refresh_resolves_to_leaf_at_large_n():
+    """refresh_style="auto" must dispatch to the leaf-space refresh (+coeff
+    scan) once padded N >= 512 — same keys => trajectories identical to an
+    explicit coeff+leaf run — and to the dense pair refresh below."""
+    from bark_tpu.fitting.sampler import _resolve_styles
+
+    p = SamplerParams(num_trees=5)
+    lo = _resolve_styles(p, 256)
+    assert (lo.refresh_style, lo.scan_style) == ("pair", "lowrank")
+    hi = _resolve_styles(p, 512)
+    assert (hi.refresh_style, hi.scan_style) == ("leaf", "coeff")
+
+    dom, X, y = make_problem(n=512, seed=6)
+    bounds = jnp.asarray(dom.bounds("bitmask"))
+    ft = jnp.asarray(dom.feature_types())
+    out = {}
+    for kw in (dict(), dict(scan_style="coeff", refresh_style="leaf")):
+        params = SamplerParams(
+            warmup_steps=2, num_samples=2, steps_per_sample=2, num_chains=1,
+            num_trees=5, **kw,
+        )
+        forest = create_empty_forest(5, params.node_limit, batch_shape=(1,))
+        model = BARKModel(forest, jnp.full((1,), 0.1), jnp.ones((1,)))
+        out[bool(kw)] = run_bark_sampler(
+            jax.random.key(5), model, X, y, bounds, ft, params
+        )
+    np.testing.assert_array_equal(
+        np.asarray(out[False].forest.threshold),
+        np.asarray(out[True].forest.threshold),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out[False].noise), np.asarray(out[True].noise)
+    )
