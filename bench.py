@@ -112,12 +112,14 @@ def measure(n_train: int, cat_dim: int = 0, num_chains: int = 64,
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--curve", action="store_true",
-                        help="sweep N in {50,200,512} + mixed-categorical")
+                        help="sweep N in {50,200,512,1024} + mixed-cat")
+    parser.add_argument("--curve-xl", action="store_true",
+                        help="also sweep N in {2048,4096} (leaf refresh)")
     parser.add_argument("--out", default=None,
                         help="also write the result JSON to this file")
     args = parser.parse_args()
 
-    if args.curve:
+    if args.curve or args.curve_xl:
         configs = [
             {"n_train": 50, "cat_dim": 0},
             {"n_train": 200, "cat_dim": 0},
@@ -125,6 +127,13 @@ def main():
             {"n_train": 1024, "cat_dim": 0},
             {"n_train": 50, "cat_dim": 2},  # mixed-categorical variant
         ]
+        if args.curve_xl:
+            # past the former dense wall — served by the leaf-space
+            # refresh (r4: 1530 / 1017 steps/s/chip measured)
+            configs += [
+                {"n_train": 2048, "cat_dim": 0},
+                {"n_train": 4096, "cat_dim": 0},
+            ]
         results = [measure(**c) for c in configs]
         payload = json.dumps(results)
     else:
