@@ -352,6 +352,72 @@ def run_workload(name, n_train, n_test, params_dict, seed=0):
     return rows
 
 
+def run_workload_replay(name, n_train, n_test, params_dict, cached_rows, seed=0):
+    """Re-run ONLY the bark_tpu side and z-test against cached reference
+    summaries (VERDICT r3 #8): catches bark_tpu statistical regressions at
+    paper power without the ~260 s shimmed-reference run. ``cached_rows``
+    must come from a ``run_workload`` invocation with the same workload,
+    seed, and params (the committed cache: results/parity_r3/
+    parity_paper.json); the reference chain means and their MC standard
+    errors are read from it, the fresh bark_tpu chains supply the other
+    side of the two-sample z-test. Statistically valid because the two
+    sides are independent runs either way."""
+    domain, X, y, X_test, y_test = make_workload(name, n_train, n_test, seed)
+    tpu_stats, tpu_mu, tpu_var, _ = run_bark_tpu(
+        domain, X, y, X_test, params_dict, seed
+    )
+    cached = {r["metric"]: r for r in cached_rows}
+
+    def ref_summary(metric):
+        r = cached[metric]
+        return (r["reference"], r["reference_se"])
+
+    rows = [
+        compare(
+            "posterior noise mean",
+            ref_summary("posterior noise mean"),
+            chain_summary(tpu_stats["noise_mean"]),
+        ),
+        compare(
+            "leaves per tree",
+            ref_summary("leaves per tree"),
+            chain_summary(tpu_stats["leaves_per_tree"]),
+        ),
+        compare(
+            "leaf depth mean",
+            ref_summary("leaf depth mean"),
+            chain_summary(tpu_stats["leaf_depth_mean"]),
+        ),
+        compare(
+            "leaf depth variance",
+            ref_summary("leaf depth variance"),
+            chain_summary(tpu_stats["leaf_depth_var"]),
+        ),
+    ]
+    ref_nlpd = cached["test NLPD"]["reference"]
+    ref_mse = cached["test MSE"]["reference"]
+    tpu_nlpd, tpu_mse = mog_nlpd_mse(tpu_mu, tpu_var, y_test)
+    rows.append(
+        {
+            "metric": "test NLPD",
+            "reference": ref_nlpd,
+            "bark_tpu": tpu_nlpd,
+            "pass": bool(abs(ref_nlpd - tpu_nlpd) <= 0.35),
+        }
+    )
+    rows.append(
+        {
+            "metric": "test MSE",
+            "reference": ref_mse,
+            "bark_tpu": tpu_mse,
+            "pass": bool(
+                abs(ref_mse - tpu_mse) <= 0.5 * max(ref_mse, tpu_mse, 0.05)
+            ),
+        }
+    )
+    return rows
+
+
 DEFAULT_PARAMS = dict(
     warmup_steps=100,
     num_samples=40,
@@ -391,9 +457,33 @@ def main():
         action="store_true",
         help="reference example-config budget: 1000 warmup + 4x50, 4 chains, m=50",
     )
+    ap.add_argument(
+        "--replay",
+        default=None,
+        metavar="CACHE_JSON",
+        help="re-run ONLY the bark_tpu side and z-test against the cached "
+        "reference summaries in CACHE_JSON (e.g. results/parity_r3/"
+        "parity_paper.json); prints one JSON line, exit 1 on failure. "
+        "Run from a fresh process — the x64 test-suite config changes "
+        "f32 trajectories (CLAUDE.md).",
+    )
     ap.add_argument("--out", default=str(REPO / "PARITY_RESULTS.md"))
     ap.add_argument("--json", default=str(REPO / "parity_results.json"))
     args = ap.parse_args()
+
+    if args.replay:
+        cache = json.loads(Path(args.replay).read_text())
+        replay_results = {}
+        ok = True
+        for wl in cache["results"]:
+            rows = run_workload_replay(
+                wl, 50, 20, cache["params"], cache["results"][wl], seed=0
+            )
+            replay_results[wl] = rows
+            ok = ok and all(r["pass"] for r in rows)
+        print(json.dumps({"pass": ok, "results": replay_results}))
+        raise SystemExit(0 if ok else 1)
+
     params = (
         PAPER_PARAMS if args.paper else FAST_PARAMS if args.fast else DEFAULT_PARAMS
     )
