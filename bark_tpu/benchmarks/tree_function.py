@@ -21,7 +21,7 @@ import numpy as np
 
 from bark_tpu.benchmarks.base import Benchmark, register_benchmark
 from bark_tpu.domain import CategoricalInput, ContinuousInput, Domain
-from bark_tpu.forest import Forest, route_forest
+from bark_tpu.forest import Forest, route_forest_auto
 from bark_tpu.utils.build import build_tree_arrays
 
 
@@ -79,7 +79,7 @@ class TreeFunction(Benchmark):
 
     def _f(self, X: np.ndarray) -> np.ndarray:
         leaves = np.asarray(
-            route_forest(self.forest, jnp.asarray(X, jnp.float32), self._feat_types)
+            route_forest_auto(self.forest, jnp.asarray(X, jnp.float32), self._feat_types)
         )  # (N, m)
         vals = self.leaf_values[np.arange(self.leaf_values.shape[0])[None, :], leaves]
         return vals.sum(axis=1)

@@ -223,6 +223,28 @@ def leaf_onehot(leaves: jax.Array, node_limit: int, dtype=jnp.float32) -> jax.Ar
     return jax.nn.one_hot(leaves, node_limit, dtype=dtype)
 
 
+def route_forest_auto(
+    forest: Forest,
+    X: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = DEFAULT_MAX_DEPTH,
+) -> jax.Array:
+    """Backend-dispatched leaf routing (bit-identical either way).
+
+    TPU: the one-hot transition-matmul router (route_forest_select) — the
+    gather walk's dynamic gathers carry tens of ms of fixed cost at batch
+    scale there (measured at acquisition and sampler-refresh shapes,
+    CLAUDE.md / results/ab_r4/ab_leaf.jsonl). CPU/GPU: the gather walk
+    (the matmuls' O(B*m*L^2) FLOPs lose badly there).
+    """
+    fn = (
+        route_forest_select
+        if jax.default_backend() == "tpu"
+        else route_forest
+    )
+    return fn(forest, X, feat_types, max_depth)
+
+
 @functools.partial(jax.jit, static_argnames=("node_limit", "onehot_dtype"))
 def gram_from_leaves(
     leaves1: jax.Array,
@@ -283,8 +305,8 @@ def forest_gram_matrix(
 
     Parity: src/bark/forest.py:78-89.
     """
-    l1 = route_forest(forest, x1, feat_types, max_depth)
-    l2 = route_forest(forest, x2, feat_types, max_depth)
+    l1 = route_forest_auto(forest, x1, feat_types, max_depth)
+    l2 = route_forest_auto(forest, x2, feat_types, max_depth)
     return gram_from_leaves(l1, l2, forest.node_limit)
 
 

@@ -14,7 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from bark_tpu.forest import Forest, gram_from_leaves, route_forest
+from bark_tpu.forest import Forest, gram_from_leaves, route_forest_auto
 from bark_tpu.ops.linalg import JITTER, gp_posterior, robust_chol_inv_logdet
 
 
@@ -46,8 +46,8 @@ def forest_predict(
     scale = scale.reshape(-1).astype(jnp.float32)
 
     def one_sample(tree_sample: Forest, noise_s, scale_s):
-        train_leaves = route_forest(tree_sample, train_x, feat_types, max_depth)
-        cand_leaves = route_forest(tree_sample, candidates, feat_types, max_depth)
+        train_leaves = route_forest_auto(tree_sample, train_x, feat_types, max_depth)
+        cand_leaves = route_forest_auto(tree_sample, candidates, feat_types, max_depth)
         K_XX = scale_s * gram_from_leaves(
             train_leaves, train_leaves, node_limit, train_mask, train_mask
         )
@@ -93,8 +93,8 @@ def forest_predict_cg(
     scale = scale.reshape(-1).astype(jnp.float32)
 
     def one_sample(tree_sample: Forest, noise_s, scale_s):
-        train_leaves = route_forest(tree_sample, train_x, feat_types, max_depth)
-        cand_leaves = route_forest(tree_sample, candidates, feat_types, max_depth)
+        train_leaves = route_forest_auto(tree_sample, train_x, feat_types, max_depth)
+        cand_leaves = route_forest_auto(tree_sample, candidates, feat_types, max_depth)
         return cg_posterior(
             train_leaves, cand_leaves, train_y, noise_s, scale_s,
             node_limit, mask=train_mask, maxiter=maxiter,

@@ -21,7 +21,7 @@ from bark_tpu.domain import Domain, Standardize
 from bark_tpu.fitting.booster import fit_booster_forest
 from bark_tpu.fitting.params import SamplerParams
 from bark_tpu.fitting.sampler import BARKModel
-from bark_tpu.forest import gram_from_leaves, route_forest
+from bark_tpu.forest import gram_from_leaves, route_forest_auto
 from bark_tpu.models.gp import forest_predict, mixture_of_gaussians_as_normal
 from bark_tpu.ops.linalg import JITTER
 
@@ -116,7 +116,7 @@ class LeafGPSurrogate:
         )
         Xj = jnp.asarray(X, jnp.float32)
         yj = jnp.asarray(y_std, jnp.float32)
-        leaves = route_forest(forest, Xj, self._feat_types)
+        leaves = route_forest_auto(forest, Xj, self._feat_types)
         gram = gram_from_leaves(leaves, leaves, self.node_limit)
         noise, scale, _ = _fit_hypers(gram, yj)
 

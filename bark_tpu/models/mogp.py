@@ -26,7 +26,7 @@ import optax
 
 from bark_tpu.domain import Domain, Standardize
 from bark_tpu.fitting.booster import fit_booster_forest
-from bark_tpu.forest import Forest, gram_from_leaves, route_forest
+from bark_tpu.forest import Forest, gram_from_leaves, route_forest_auto
 from bark_tpu.ops.linalg import JITTER
 
 
@@ -130,7 +130,7 @@ class LeafMOGPSurrogate:
         Xj = jnp.asarray(X, jnp.float32)
         yj = jnp.asarray(y_std, jnp.float32)
         tj = jnp.asarray(tasks)
-        leaves = route_forest(self.forest, Xj, self._feat_types)
+        leaves = route_forest_auto(self.forest, Xj, self._feat_types)
         gram = gram_from_leaves(leaves, leaves, self.node_limit)
         self.params, _ = fit_mogp_hypers(gram, tj, yj, self.num_tasks)
         self.train = (Xj, tj, yj, leaves, gram)
@@ -142,7 +142,7 @@ class LeafMOGPSurrogate:
         tnew = jnp.asarray(np.asarray(tasks_new, np.int32).reshape(-1))
         X, t, y, leaves, gram = self.train
 
-        new_leaves = route_forest(self.forest, Xj, self._feat_types)
+        new_leaves = route_forest_auto(self.forest, Xj, self._feat_types)
         K_xX = mogp_kernel(
             gram_from_leaves(new_leaves, leaves, self.node_limit),
             tnew, t, self.params,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from bark_tpu.fitting.sampler import BARKModel
-from bark_tpu.forest import Forest, gram_from_leaves, route_forest
+from bark_tpu.forest import Forest, gram_from_leaves, route_forest_auto
 from bark_tpu.ops.linalg import JITTER
 
 
@@ -48,7 +48,7 @@ def generate_fstar_samples(
     n = train_x.shape[0]
 
     def per_sample(tree_sample: Forest, noise_s, scale_s, k):
-        leaves = route_forest(tree_sample, train_x, feat_types, max_depth)
+        leaves = route_forest_auto(tree_sample, train_x, feat_types, max_depth)
         K = scale_s * gram_from_leaves(leaves, leaves, node_limit)
         K_s = K + (JITTER + noise_s) * jnp.eye(n)
         sol = jnp.linalg.solve(K_s, jnp.concatenate([y[:, None], K], axis=1))
@@ -87,8 +87,8 @@ def construct_nystrom_features(
     scale = model.scale.reshape(-1).astype(jnp.float32)
 
     def per_sample(tree_sample: Forest, scale_s):
-        z_leaves = route_forest(tree_sample, inducing_x, feat_types, max_depth)
-        c_leaves = route_forest(tree_sample, candidates, feat_types, max_depth)
+        z_leaves = route_forest_auto(tree_sample, inducing_x, feat_types, max_depth)
+        c_leaves = route_forest_auto(tree_sample, candidates, feat_types, max_depth)
         K_zz = scale_s * gram_from_leaves(z_leaves, z_leaves, node_limit)
         K_xz = scale_s * gram_from_leaves(c_leaves, z_leaves, node_limit)
         evals, evecs = jnp.linalg.eigh(K_zz)

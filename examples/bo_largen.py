@@ -74,9 +74,17 @@ def run_study(
     X = bench.domain.sample(n_init, rng)
     y = bench.f(X)
 
+    import jax
+
+    def _sync():
+        # sampler fits dispatch asynchronously; block so the phase timings
+        # are honest device costs, not dispatch latency
+        jax.block_until_ready(strat.surrogate.model)
+
     records = []
     t0 = time.perf_counter()
     strat.tell(X, y)  # initial fit (includes warmup + compiles)
+    _sync()
     fit0_s = time.perf_counter() - t0
 
     for it in range(num_iter):
@@ -86,6 +94,7 @@ def run_study(
         y_new = bench.f(cand)
         t0 = time.perf_counter()
         strat.add(cand, y_new)  # warm-started refit on the grown set
+        _sync()
         fit_s = time.perf_counter() - t0
         rec = {
             "iter": it,
