@@ -223,6 +223,43 @@ def leaf_onehot(leaves: jax.Array, node_limit: int, dtype=jnp.float32) -> jax.Ar
     return jax.nn.one_hot(leaves, node_limit, dtype=dtype)
 
 
+def compact_leaf_indicator(
+    forest_sample: Forest,
+    leaves: jax.Array,
+    max_leaves: int,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """(B, m * max_leaves) 0/1 leaf indicators with per-tree DENSE ranks.
+
+    Tree j's active leaves get ranks 0..L_j-1 (node order) packed into the
+    block ``[j * max_leaves, (j+1) * max_leaves)``; with
+    ``max_leaves = (node_limit + 1) // 2`` (the exact per-tree leaf cap of
+    a binary tree on node_limit slots) the packing is always injective, so
+    ``Z Z^T`` equals ``m * gram`` exactly for ANY forest — no budget
+    assumption, unlike the sampler's guarded global packing.
+
+    Lowered as the per-node one-hot against a (m * node_limit, m * max_leaves)
+    0/1 projection — one MXU matmul, no gathers (bf16 operands with f32
+    accumulation keep counts exact; the gather/scatter lowerings measured
+    tens of ms at batch scale on TPU, results/ab_r4/ab_leaf.jsonl).
+    """
+    m, node_limit = forest_sample.is_leaf.shape[-2:]
+    r = m * max_leaves
+    tmask = forest_sample.active & forest_sample.is_leaf  # (m, node_limit)
+    ranks = jnp.cumsum(tmask, axis=-1).astype(jnp.int32) - 1
+    base = max_leaves * jnp.arange(m, dtype=jnp.int32)[:, None]
+    target = jnp.where(tmask, base + ranks, r)  # non-leaf slots -> zero row
+    P = jax.nn.one_hot(target.reshape(-1), r, dtype=dtype)
+    E = leaf_onehot(leaves, node_limit, dtype).reshape(
+        leaves.shape[0], m * node_limit
+    )
+    return jax.lax.dot_general(
+        E, P,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def route_forest_auto(
     forest: Forest,
     X: jax.Array,

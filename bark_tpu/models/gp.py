@@ -103,6 +103,69 @@ def forest_predict_cg(
     return jax.vmap(one_sample)(flat, noise, scale)
 
 
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def forest_predict_leaf(
+    forest: Forest,
+    noise: jax.Array,
+    scale: jax.Array,
+    train_x: jax.Array,
+    train_y: jax.Array,
+    candidates: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = 16,
+    train_mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """EXACT large-N sibling of :func:`forest_predict` in leaf space.
+
+    With the compact leaf-indicator matrices Z (N, r), Z_x (M, r) and
+    A = (nu/gamma) I_r + Z^T Z  (nu = jitter + noise, gamma = scale / m,
+    r = m * max_leaves), the Woodbury identity collapses the posterior to
+
+        mu(x)  = z_x^T A^{-1} (Z^T y)
+        var(x) = nu * || L_A^{-1} z_x ||^2
+
+    (both derived from K = nu I + gamma Z Z^T; diag(Z_x Z_x^T) = m makes
+    the prior-variance term cancel exactly). One (r, r) Cholesky per
+    posterior sample replaces the (N, N) factorization — O((N + M) r)
+    work and memory in N — and unlike :func:`forest_predict_cg` the
+    result is exact (same math as dense up to float association; the
+    per-tree dense ranking is injective for any forest, no budget
+    assumption). The refresh identity the sampler uses at N >= 512
+    (fitting/sampler.py), applied to prediction.
+    """
+    from bark_tpu.forest import compact_leaf_indicator
+
+    m, node_limit = forest.num_trees, forest.node_limit
+    max_leaves = (node_limit + 1) // 2
+    flat = jax.tree.map(lambda a: a.reshape(-1, m, node_limit), forest)
+    noise = noise.reshape(-1).astype(jnp.float32)
+    scale = scale.reshape(-1).astype(jnp.float32)
+    y = train_y.reshape(-1).astype(jnp.float32)
+    if train_mask is not None:
+        y = y * train_mask
+
+    def one_sample(tree_sample: Forest, noise_s, scale_s):
+        train_leaves = route_forest_auto(tree_sample, train_x, feat_types, max_depth)
+        cand_leaves = route_forest_auto(tree_sample, candidates, feat_types, max_depth)
+        Z = compact_leaf_indicator(tree_sample, train_leaves, max_leaves)
+        if train_mask is not None:
+            Z = Z * train_mask[:, None]
+        Zx = compact_leaf_indicator(tree_sample, cand_leaves, max_leaves)
+        nu = JITTER + noise_s
+        gamma = scale_s / m
+        r = Z.shape[1]
+        A = Z.T @ Z + (nu / gamma) * jnp.eye(r, dtype=jnp.float32)
+        L_A = jnp.linalg.cholesky(A)
+        u = Z.T @ y
+        w = jax.scipy.linalg.cho_solve((L_A, True), u)
+        mu = Zx @ w
+        T = jax.scipy.linalg.solve_triangular(L_A, Zx.T, lower=True)
+        var = nu * jnp.sum(T * T, axis=0)
+        return mu, var
+
+    return jax.vmap(one_sample)(flat, noise, scale)
+
+
 def mixture_of_gaussians_as_normal(
     mu: jax.Array, var: jax.Array
 ) -> tuple[jax.Array, jax.Array]:

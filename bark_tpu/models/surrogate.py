@@ -29,6 +29,7 @@ from bark_tpu.forest import Forest, create_empty_forest
 from bark_tpu.models.gp import (
     forest_predict,
     forest_predict_cg,
+    forest_predict_leaf,
     mixture_of_gaussians_as_normal,
 )
 
@@ -40,14 +41,15 @@ def bucket_size(n: int, bucket: int = 32) -> int:
 
 class _BARKSurrogateBase:
     #: training-set size past which ``predict`` switches from the dense
-    #: Cholesky posterior to the matrix-free CG path (forest_predict_cg) —
-    #: the dense path holds S x N x N kernels, the CG path never builds
-    #: anything N x N.
+    #: Cholesky posterior to the exact leaf-space path
+    #: (forest_predict_leaf) — the dense path holds S x N x N kernels;
+    #: leaf/CG never build anything N x N. (Name kept from the r2 CG
+    #: switch; "cg" remains available as an explicit backend.)
     cg_threshold: int = 2048
 
     def __init__(self, domain: Domain, params: SamplerParams,
                  predict_backend: str = "auto"):
-        if predict_backend not in ("auto", "dense", "cg"):
+        if predict_backend not in ("auto", "dense", "cg", "leaf"):
             raise ValueError(f"unknown predict_backend: {predict_backend!r}")
         self.domain = domain
         self.params = params
@@ -75,11 +77,18 @@ class _BARKSurrogateBase:
         """
         candidates = jnp.asarray(self.domain.transform(X))
         train_x, train_y = self.train_data
-        use_cg = self.predict_backend == "cg" or (
-            self.predict_backend == "auto"
-            and train_x.shape[0] > self.cg_threshold
-        )
-        predict_fn = forest_predict_cg if use_cg else forest_predict
+        # auto: dense Cholesky at bucket-sized N; past the dense wall the
+        # EXACT leaf-space path (one (r, r) Cholesky per sample, the
+        # sampler-refresh identity applied to prediction) replaces the
+        # round-3 CG approximation — same scaling, no iteration error.
+        backend = self.predict_backend
+        if backend == "auto":
+            backend = "leaf" if train_x.shape[0] > self.cg_threshold else "dense"
+        predict_fn = {
+            "dense": forest_predict,
+            "cg": forest_predict_cg,
+            "leaf": forest_predict_leaf,
+        }[backend]
         mu, var = predict_fn(
             self.model.forest,
             self.model.noise,
