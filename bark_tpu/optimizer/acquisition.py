@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from bark_tpu.fitting.sampler import BARKModel
 from bark_tpu.forest import (
     Forest,
+    compact_leaf_indicator,
     gram_from_leaves,
     num_null_trees,
     route_forest,
@@ -204,31 +205,27 @@ class AcquisitionStateLR(NamedTuple):
     """Factored acquisition state: everything scoring needs, nothing O(N)."""
 
     forest: Forest  # (S, m, node_limit) — for candidate routing + leaf boxes
-    leaf_rank: jax.Array  # (S, m, node_limit) int32 dense leaf rank per slot
     beta: jax.Array  # (S, r) — mu(x) = h(x) @ beta (scale, sigma_z folded in)
     V: jax.Array  # (S, r, r) — var(x) = scale * ||V @ h(x)||^2 + var0
     scale: jax.Array  # (S,)
     var0: jax.Array  # (S,) residual variance when every tree is null
 
 
-def _leaf_ranks(forest_sample: Forest, max_leaves: int) -> jax.Array:
-    """Dense leaf rank per node slot, ``(m, node_limit)`` int32.
-
-    Ranks are unique over the (active) leaf slots of each tree, which is all
-    routing can return; values at non-leaf slots are never selected.
-    """
-    is_leaf = (forest_sample.is_leaf & forest_sample.active).astype(jnp.int32)
-    return jnp.clip(jnp.cumsum(is_leaf, axis=-1) - 1, 0, max_leaves - 1)
-
-
-def _compact_onehot(
-    crank: jax.Array, nonnull: jax.Array, max_leaves: int, dtype
+def _compact_indicator_nonull(
+    tree_sample: Forest, leaves: jax.Array, max_leaves: int
 ) -> jax.Array:
-    """(B, m) compact leaf ranks -> (B, m * max_leaves) 0/1 indicators with
-    null-tree blocks zeroed."""
-    h = jax.nn.one_hot(crank, max_leaves, dtype=dtype)  # (B, m, Lc)
-    h = h * nonnull[None, :, None].astype(dtype)
-    return h.reshape(crank.shape[0], -1)
+    """(B, r) compact 0/1 leaf indicators with null-tree blocks zeroed.
+
+    forest.compact_leaf_indicator (one projection MXU matmul, no gathers —
+    the (B, m) rank gather measured tens of ms at batch scale on TPU,
+    results/ab_r4/ab_leaf.jsonl) with the single-leaf trees' blocks masked
+    out, matching the no-null gram rescaling semantics
+    (src/bark/forest.py:101-111).
+    """
+    z = compact_leaf_indicator(tree_sample, leaves, max_leaves)
+    nonnull = ~tree_sample.is_leaf[:, 0]  # (m,)
+    mask = jnp.repeat(nonnull, max_leaves)
+    return z * mask[None, :].astype(z.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "row_block"))
@@ -290,17 +287,12 @@ def build_acquisition_lr(
     )
 
     def per_sample(tree_sample: Forest, noise_s, scale_s, n_null_s):
-        leaf_rank = _leaf_ranks(tree_sample, max_leaves)
-        nonnull = ~tree_sample.is_leaf[:, 0]  # (m,)
-
         def block_stats(xb, yb, mb):
-            """(G, u) contributions of one row block — 0/1 indicators in
-            bf16: products are exact and the MXU matmul accumulates in
-            float32, so G holds exact co-occurrence counts."""
+            """(G, u) contributions of one row block — 0/1 indicators from
+            one bf16 projection matmul (exact counts, f32 accumulation;
+            no rank gathers)."""
             leaves = route(tree_sample, xb, feat_types, max_depth)
-            # crank[n, t] = leaf_rank[t, leaves[n, t]]
-            crank = jnp.take_along_axis(leaf_rank, leaves.T, axis=1).T
-            Z01 = _compact_onehot(crank, nonnull, max_leaves, jnp.bfloat16)
+            Z01 = _compact_indicator_nonull(tree_sample, leaves, max_leaves)
             Z01 = Z01 * mb[:, None].astype(Z01.dtype)
             Gb = jax.lax.dot_general(
                 Z01,
@@ -353,12 +345,11 @@ def build_acquisition_lr(
         beta = scale_s * sigma_z * beta_raw
         V = sigma_z * V
         var0 = scale_s * (1.0 - jnp.where(n_null_s >= m, 0.0, 1.0))
-        return leaf_rank, beta, V, var0
+        return beta, V, var0
 
-    leaf_rank, beta, V, var0 = jax.vmap(per_sample)(forest, noise, scale, n_null)
+    beta, V, var0 = jax.vmap(per_sample)(forest, noise, scale, n_null)
     return AcquisitionStateLR(
         forest=forest,
-        leaf_rank=leaf_rank,
         beta=beta,
         V=V,
         scale=scale,
@@ -401,11 +392,9 @@ def _evaluate_acquisition_lr(
         else route_forest
     )
 
-    def per_sample(tree_sample, leaf_rank, beta, V, scale_s, var0_s):
+    def per_sample(tree_sample, beta, V, scale_s, var0_s):
         leaves = route(tree_sample, candidates, feat_types, max_depth)
-        crank = jnp.take_along_axis(leaf_rank, leaves.T, axis=1).T  # (B, m)
-        nonnull = ~tree_sample.is_leaf[:, 0]
-        h = _compact_onehot(crank, nonnull, max_leaves, jnp.float32)  # (B, r)
+        h = _compact_indicator_nonull(tree_sample, leaves, max_leaves)  # (B, r)
         mu = h @ beta
         # HIGHEST keeps V at full float32 through the MXU (default TPU
         # precision would round V to bf16; h is 0/1 and exact either way).
@@ -421,7 +410,7 @@ def _evaluate_acquisition_lr(
         return mu - kappa * jnp.sqrt(var)
 
     per_sample_lcb = jax.vmap(per_sample)(
-        acq.forest, acq.leaf_rank, acq.beta, acq.V, acq.scale, acq.var0
+        acq.forest, acq.beta, acq.V, acq.scale, acq.var0
     )  # (S, B)
     return jnp.mean(per_sample_lcb, axis=0)
 
