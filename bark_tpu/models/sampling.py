@@ -111,6 +111,98 @@ def nystrom_samples(
     return jnp.einsum("smz,szn->snm", features, w)
 
 
+@functools.partial(jax.jit, static_argnames=("num_draws", "max_depth"))
+def leaf_function_samples(
+    key: jax.Array,
+    model: BARKModel,
+    train_x: jax.Array,
+    train_y: jax.Array,
+    X_eval: jax.Array,
+    feat_types: jax.Array,
+    num_draws: int = 16,
+    max_depth: int = 16,
+    train_mask: jax.Array | None = None,
+) -> jax.Array:
+    """EXACT joint posterior function draws at arbitrary eval points.
+
+    The forest-agreement GP is identically a Bayesian linear model over
+    compact leaf indicators: f(x) = z_x^T theta with prior
+    theta ~ N(0, gamma I_r) reproduces cov(f(x), f(x')) =
+    scale * agreement exactly, so the posterior is available in closed
+    form — theta | y ~ N(A^{-1} Z^T y, nu A^{-1}) with
+    A = (nu/gamma) I + Z^T Z (verified against the dense posterior:
+    models/gp.forest_predict_leaf derives the same mu/var). Draws are
+    theta = theta_bar + sqrt(nu) L_A^{-T} eps — one (r, r) Cholesky per
+    posterior sample, O(r) per eval point, exact FULL joint covariance,
+    and A is SPD by construction so no eigenvalue clamping is ever needed
+    (both the dense f* sampler above and the reference's Nystrom features
+    clamp away indefiniteness; this path has none). Supersedes Nystrom
+    features for BARK models (kept for parity). Returns
+    ``(S, num_draws, M)``.
+    """
+    from bark_tpu.forest import compact_leaf_indicator
+
+    m, node_limit = model.forest.num_trees, model.forest.node_limit
+    max_leaves = (node_limit + 1) // 2
+    flat = jax.tree.map(lambda a: a.reshape(-1, m, node_limit), model.forest)
+    noise = model.noise.reshape(-1).astype(jnp.float32)
+    scale = model.scale.reshape(-1).astype(jnp.float32)
+    y = train_y.reshape(-1).astype(jnp.float32)
+    if train_mask is not None:
+        y = y * train_mask
+
+    def per_sample(tree_sample: Forest, noise_s, scale_s, k):
+        train_leaves = route_forest_auto(
+            tree_sample, train_x, feat_types, max_depth
+        )
+        eval_leaves = route_forest_auto(
+            tree_sample, X_eval, feat_types, max_depth
+        )
+        Z = compact_leaf_indicator(tree_sample, train_leaves, max_leaves)
+        if train_mask is not None:
+            Z = Z * train_mask[:, None]
+        Ze = compact_leaf_indicator(tree_sample, eval_leaves, max_leaves)
+        nu = JITTER + noise_s
+        gamma = scale_s / m
+        r = Z.shape[1]
+        A = Z.T @ Z + (nu / gamma) * jnp.eye(r, dtype=jnp.float32)
+        L_A = jnp.linalg.cholesky(A)
+        theta_bar = jax.scipy.linalg.cho_solve((L_A, True), Z.T @ y)
+        eps = jax.random.normal(k, (r, num_draws), jnp.float32)
+        pert = jnp.sqrt(nu) * jax.scipy.linalg.solve_triangular(
+            L_A.T, eps, lower=False
+        )  # L_A^{-T} eps: draws from N(0, nu A^{-1})
+        theta = theta_bar[:, None] + pert  # (r, num_draws)
+        return (Ze @ theta).T  # (num_draws, M)
+
+    keys = jax.random.split(key, noise.shape[0])
+    return jax.vmap(per_sample)(flat, noise, scale, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("num_fstar", "max_depth"))
+def generate_fstar_samples_leaf(
+    key: jax.Array,
+    model: BARKModel,
+    train_x: jax.Array,
+    train_y: jax.Array,
+    feat_types: jax.Array,
+    num_fstar: int = 16,
+    max_depth: int = 16,
+    train_mask: jax.Array | None = None,
+) -> jax.Array:
+    """:func:`generate_fstar_samples` through the exact leaf-space draws —
+    O(N r + r^2) per posterior sample instead of the dense path's O(N^3)
+    solve + eigendecomposition, with no PSD clamping. Returns
+    ``(S, num_fstar)``."""
+    draws = leaf_function_samples(
+        key, model, train_x, train_y, train_x, feat_types, num_fstar,
+        max_depth, train_mask,
+    )  # (S, num_fstar, N)
+    if train_mask is not None:
+        draws = jnp.where(train_mask[None, None, :] > 0, draws, jnp.inf)
+    return jnp.min(draws, axis=-1)
+
+
 def fstar_samples_mogp(mogp, X_train, num_fstar: int, rng) -> jnp.ndarray:
     """Optimum-value samples from a LeafMOGP's target-fidelity posterior.
 

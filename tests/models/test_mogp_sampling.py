@@ -111,3 +111,60 @@ def test_fidelity_chooser_returns_valid_index():
         mogp, bench.domain.sample(1, rng), bench.fidelity_costs, f_star
     )
     assert fid in (0, 1)
+
+
+def test_leaf_function_samples_match_posterior_moments():
+    """Exact leaf-space draws: mean equals the closed-form posterior mean
+    and per-point variance matches forest_predict's latent variance within
+    MC error — no eigenvalue clamping anywhere (A is SPD by construction)."""
+    import jax.numpy as jnp
+
+    from bark_tpu.benchmarks.tree_function import TreeFunction
+    from bark_tpu.fitting.prior import sample_forest_prior
+    from bark_tpu.fitting.sampler import BARKModel
+    from bark_tpu.models.gp import forest_predict_leaf
+    from bark_tpu.models.sampling import (
+        generate_fstar_samples,
+        generate_fstar_samples_leaf,
+        leaf_function_samples,
+    )
+
+    bench = TreeFunction(dim=3, m=10, function_seed=4)
+    dom = bench.domain
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(dom.sample(60, rng))
+    y = jnp.asarray(bench.f(np.asarray(X)))
+    C = jnp.asarray(dom.sample(15, rng))
+    ft = jnp.asarray(dom.feature_types())
+    bounds = jnp.asarray(dom.bounds("bitmask"))
+    forest = sample_forest_prior(
+        jax.random.key(5), 10, bounds, ft, num_samples=2, node_limit=32,
+        max_depth=8,
+    )
+    model = BARKModel(forest, jnp.array([0.1, 0.2]), jnp.array([1.0, 0.7]))
+
+    D = 4096
+    draws = leaf_function_samples(
+        jax.random.key(0), model, X, y, C, ft, num_draws=D, max_depth=8
+    )  # (2, D, 15)
+    mu, var = forest_predict_leaf(
+        model.forest, model.noise, model.scale, X, y, C, ft, 8
+    )
+    emp_mu = np.asarray(draws.mean(axis=1))
+    emp_var = np.asarray(draws.var(axis=1))
+    # MC error ~ sqrt(2/D) for the variance, sqrt(var/D) for the mean
+    np.testing.assert_allclose(emp_mu, np.asarray(mu), atol=4.5 * float(
+        np.sqrt(np.asarray(var).max() / D)
+    ))
+    np.testing.assert_allclose(emp_var, np.asarray(var), rtol=0.15, atol=1e-4)
+
+    # f* draws through the leaf path agree with the dense sampler in
+    # distribution (same posterior; different RNG streams)
+    fs_leaf = np.asarray(generate_fstar_samples_leaf(
+        jax.random.key(1), model, X, y, ft, num_fstar=512, max_depth=8
+    ))
+    fs_dense = np.asarray(generate_fstar_samples(
+        jax.random.key(2), model, X, y, ft, num_fstar=512, max_depth=8
+    ))
+    assert abs(fs_leaf.mean() - fs_dense.mean()) < 0.2
+    assert abs(fs_leaf.std() - fs_dense.std()) < 0.2
