@@ -34,6 +34,7 @@ from bark_tpu.forest import (
     gram_from_leaves,
     num_null_trees,
     route_forest,
+    route_forest_auto,
     route_forest_select,
 )
 from bark_tpu.ops.linalg import JITTER, robust_chol_inv_logdet
@@ -415,6 +416,102 @@ def _evaluate_acquisition_lr(
     return jnp.mean(per_sample_lcb, axis=0)
 
 
+# --- Thompson-sampling acquisition ------------------------------------------
+
+
+class AcquisitionStateTS(NamedTuple):
+    """Thompson-sampling acquisition: one exact posterior function draw.
+
+    The agreement GP is identically Bayesian linear regression over compact
+    leaf indicators (models/sampling.leaf_function_samples), so a Thompson
+    draw is a single leaf-weight vector theta ~ p(theta | y) for one
+    uniformly-chosen posterior (forest, noise, scale) sample, and
+    score(x) = z_x^T theta — exact full-joint draw, O(r) per candidate,
+    N never appears at scoring time. Optimizing it with the same search +
+    leaf-box centering IS Thompson sampling over the piecewise-constant
+    posterior (capability parity: the reference's stale
+    thompson_sampling.py:9-27 only ever drew f* values at train sites).
+    """
+
+    forest: Forest  # (1, m, node_limit) — the chosen posterior forest
+    theta: jax.Array  # (r,) leaf weights of the draw
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def build_acquisition_ts(
+    key: jax.Array,
+    model: BARKModel,
+    train_x: jax.Array,
+    train_y: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = 16,
+    train_mask: jax.Array | None = None,
+) -> AcquisitionStateTS:
+    """One exact posterior function draw as an acquisition state.
+
+    theta | y ~ N(A^{-1} Z^T y, nu A^{-1}) with A = (nu/gamma) I + Z^T Z
+    (the same closed form forest_predict_leaf/leaf_function_samples use;
+    A is SPD by construction, no clamping). A fresh key per ask() gives
+    the TS exploration distribution.
+    """
+    m, node_limit = model.forest.num_trees, model.forest.node_limit
+    max_leaves = (node_limit + 1) // 2
+    flat = jax.tree.map(lambda a: a.reshape(-1, m, node_limit), model.forest)
+    noise = model.noise.reshape(-1).astype(jnp.float32)
+    scale = model.scale.reshape(-1).astype(jnp.float32)
+    y = train_y.reshape(-1).astype(jnp.float32)
+    if train_mask is not None:
+        y = y * train_mask
+
+    k_pick, k_draw = jax.random.split(key)
+    s = jax.random.randint(k_pick, (), 0, noise.shape[0])
+    tree_sample = jax.tree.map(lambda a: a[s], flat)
+    noise_s, scale_s = noise[s], scale[s]
+
+    train_leaves = route_forest_auto(
+        tree_sample, train_x, feat_types, max_depth
+    )
+    Z = compact_leaf_indicator(tree_sample, train_leaves, max_leaves)
+    if train_mask is not None:
+        Z = Z * train_mask[:, None]
+    nu = JITTER + noise_s
+    gamma = scale_s / m
+    r = Z.shape[1]
+    A = Z.T @ Z + (nu / gamma) * jnp.eye(r, dtype=jnp.float32)
+    L_A = jnp.linalg.cholesky(A)
+    theta_bar = jax.scipy.linalg.cho_solve((L_A, True), Z.T @ y)
+    eps = jax.random.normal(k_draw, (r,), jnp.float32)
+    theta = theta_bar + jnp.sqrt(nu) * jax.scipy.linalg.solve_triangular(
+        L_A.T, eps, lower=False
+    )
+    return AcquisitionStateTS(
+        forest=jax.tree.map(lambda a: a[None], tree_sample), theta=theta
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "kappa"))
+def _evaluate_acquisition_ts(
+    acq: AcquisitionStateTS,
+    candidates: jax.Array,
+    feat_types: jax.Array,
+    max_depth: int = 16,
+    kappa: float = DEFAULT_KAPPA,
+) -> jax.Array:
+    """Score = the drawn function's value (kappa unused; lower is better)."""
+    del kappa
+    node_limit = acq.forest.node_limit
+    max_leaves = (node_limit + 1) // 2
+    route = (
+        route_forest_select
+        if jax.default_backend() == "tpu"
+        else route_forest
+    )
+    tree_sample = jax.tree.map(lambda a: a[0], acq.forest)
+    leaves = route(tree_sample, candidates, feat_types, max_depth)
+    h = compact_leaf_indicator(tree_sample, leaves, max_leaves)
+    return h @ acq.theta
+
+
 # --- multi-task (multi-fidelity) acquisition --------------------------------
 
 
@@ -502,6 +599,8 @@ def evaluate_acquisition(
         return _evaluate_acquisition_lr(acq, candidates, feat_types, max_depth, kappa)
     if isinstance(acq, AcquisitionStateMOGP):
         return _evaluate_acquisition_mogp(acq, candidates, feat_types, max_depth, kappa)
+    if isinstance(acq, AcquisitionStateTS):
+        return _evaluate_acquisition_ts(acq, candidates, feat_types, max_depth, kappa)
     return _evaluate_acquisition_dense(acq, candidates, feat_types, max_depth, kappa)
 
 

@@ -29,6 +29,7 @@ from bark_tpu.optimizer.acquisition import (
     LR_THRESHOLD,
     build_acquisition,
     build_acquisition_lr,
+    build_acquisition_ts,
 )
 from bark_tpu.optimizer.search import propose, sample_feasible
 
@@ -49,7 +50,7 @@ class TreeKernelStrategy:
         num_rounds: int = 4,
         acq_backend: str = "auto",
     ):
-        if acq_backend not in ("auto", "dense", "lowrank"):
+        if acq_backend not in ("auto", "dense", "lowrank", "thompson"):
             raise ValueError(f"unknown acq_backend: {acq_backend!r}")
         self.domain = domain
         self.surrogate = surrogate or BARKSurrogate(domain, params, seed=seed)
@@ -105,23 +106,37 @@ class TreeKernelStrategy:
 
         try:
             train_x, train_y = self.surrogate.train_data
-            # the factored builder never materializes (S, N, N): past the
-            # dense memory wall it is the only way ask() completes at all
-            # (VERDICT r2 #1; the reference is equally dense,
-            # src/bark/optimizer/opt_model.py:54-59)
-            use_lr = self.acq_backend == "lowrank" or (
-                self.acq_backend == "auto"
-                and train_x.shape[0] > LR_THRESHOLD
-            )
-            builder = build_acquisition_lr if use_lr else build_acquisition
-            acq = builder(
-                self.surrogate.model,
-                train_x,
-                train_y,
-                jnp.asarray(self.domain.feature_types()),
-                self.surrogate.params.max_depth,
-                train_mask=self.surrogate.train_mask,
-            )
+            if self.acq_backend == "thompson":
+                # one exact posterior function draw per ask (leaf-space
+                # BLR closed form); fresh key = the TS exploration draw
+                self._key, k_ts = jax.random.split(self._key)
+                acq = build_acquisition_ts(
+                    k_ts,
+                    self.surrogate.model,
+                    train_x,
+                    train_y,
+                    jnp.asarray(self.domain.feature_types()),
+                    self.surrogate.params.max_depth,
+                    train_mask=self.surrogate.train_mask,
+                )
+            else:
+                # the factored builder never materializes (S, N, N): past
+                # the dense memory wall it is the only way ask() completes
+                # at all (VERDICT r2 #1; the reference is equally dense,
+                # src/bark/optimizer/opt_model.py:54-59)
+                use_lr = self.acq_backend == "lowrank" or (
+                    self.acq_backend == "auto"
+                    and train_x.shape[0] > LR_THRESHOLD
+                )
+                builder = build_acquisition_lr if use_lr else build_acquisition
+                acq = builder(
+                    self.surrogate.model,
+                    train_x,
+                    train_y,
+                    jnp.asarray(self.domain.feature_types()),
+                    self.surrogate.params.max_depth,
+                    train_mask=self.surrogate.train_mask,
+                )
             self._key, k = jax.random.split(self._key)
             candidate, _ = propose(
                 k,

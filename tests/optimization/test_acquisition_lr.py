@@ -194,3 +194,53 @@ def test_lr_blocked_build_matches_unblocked():
         np.testing.assert_allclose(
             np.asarray(s1), np.asarray(s0), rtol=1e-5, atol=1e-5
         )
+
+
+def test_thompson_acquisition_and_strategy():
+    """TS acquisition: exact leaf-space draw scores candidates by one
+    function draw (deterministic per key, varying across keys), and the
+    strategy's acq_backend="thompson" runs ask/tell end-to-end."""
+    import jax.numpy as jnp
+
+    from bark_tpu.fitting.params import SamplerParams
+    from bark_tpu.optimizer.acquisition import (
+        build_acquisition_ts,
+        evaluate_acquisition,
+    )
+    from bark_tpu.strategies.tree_kernel import TreeKernelStrategy
+
+    bench = TreeFunction(dim=2, function_seed=13)
+    dom = bench.domain
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(dom.sample(30, rng))
+    y = jnp.asarray(bench.f(np.asarray(X)))
+    ft = jnp.asarray(dom.feature_types())
+    model = _prior_model(dom, m=10)
+
+    C = jnp.asarray(dom.sample(50, rng))
+    acq1 = build_acquisition_ts(jax.random.key(0), model, X, y, ft, MAX_DEPTH)
+    acq1b = build_acquisition_ts(jax.random.key(0), model, X, y, ft, MAX_DEPTH)
+    acq2 = build_acquisition_ts(jax.random.key(9), model, X, y, ft, MAX_DEPTH)
+    s1 = evaluate_acquisition(acq1, C, ft, max_depth=MAX_DEPTH)
+    s1b = evaluate_acquisition(acq1b, C, ft, max_depth=MAX_DEPTH)
+    s2 = evaluate_acquisition(acq2, C, ft, max_depth=MAX_DEPTH)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s1b))
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))  # a fresh draw
+    assert np.isfinite(np.asarray(s1)).all()
+
+    params = SamplerParams(
+        warmup_steps=10, num_samples=3, steps_per_sample=3, num_chains=1,
+        num_trees=8, node_limit=32, max_depth=MAX_DEPTH,
+    )
+    strat = TreeKernelStrategy(
+        dom, params=params, seed=0, num_candidates=256, num_rounds=1,
+        acq_backend="thompson",
+    )
+    Xs = dom.sample(12, np.random.default_rng(6))
+    strat.tell(Xs, bench.f(Xs))
+    c1, c2 = strat.ask(), strat.ask()
+    bounds = dom.bounds("ordinal")
+    for c in (c1, c2):
+        assert c.shape == (1, len(dom.inputs))
+        assert (c[0] >= bounds[:, 0] - 1e-9).all()
+        assert (c[0] <= bounds[:, 1] + 1e-9).all()
