@@ -413,3 +413,41 @@ def test_auto_refresh_resolves_to_leaf_at_large_n():
     np.testing.assert_array_equal(
         np.asarray(out[False].noise), np.asarray(out[True].noise)
     )
+
+
+def test_leaf_refresh_tempered_matches_dense():
+    """step(beta != 1) — the PT/SMC path — must produce the same tempered
+    trajectory through the leaf refresh as through the dense pair refresh
+    (beta scales the likelihood in both the move scan and the hyper
+    accept; the leaf branch must apply it identically). Small N so f32
+    association cannot flip marginal accepts — the cross-style caveat
+    documented in params.py scan_style notes (at N=512 the styles match
+    on noise/accept streams but mll association differs by ~1e-3
+    relative, occasionally flipping a structural accept)."""
+    dom, X, y = make_problem(n=20, seed=9)
+    bounds = jnp.asarray(dom.bounds("bitmask"))
+    ft = jnp.asarray(dom.feature_types())
+    out = {}
+    for kw in (dict(scan_style="plain", refresh_style="pair"),
+               dict(scan_style="coeff", refresh_style="leaf")):
+        params = SamplerParams(num_trees=5, **kw)
+        forest = jax.tree.map(
+            lambda a: a[0],
+            create_empty_forest(5, params.node_limit, batch_shape=(1,)),
+        )
+        st = init_chain_state(forest, 0.1, 1.0, X, y, ft, params,
+                              bounds=bounds)
+        for i in range(8):
+            st = step(jax.random.key(40 + i), st, X, y, bounds, ft, params,
+                      beta=0.5)
+        out[kw["refresh_style"]] = st
+    np.testing.assert_array_equal(
+        np.asarray(out["pair"].forest.threshold),
+        np.asarray(out["leaf"].forest.threshold),
+    )
+    np.testing.assert_allclose(
+        float(out["pair"].noise), float(out["leaf"].noise), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(out["pair"].mll), float(out["leaf"].mll), rtol=1e-4
+    )
