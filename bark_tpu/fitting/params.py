@@ -153,11 +153,13 @@ class SamplerParams:
     # un-truncated posterior totals at the bench config: mean 130-155,
     # max 171 across N=200..1024 — results/ab_r4/leaf_totals.json).
     #
-    # leaf_budget: total compact leaf slots R. 0 (auto) resolves to
-    # max(128, ceil(5*num_trees/128)*128) — 256 at m=50, ~1.5x the
-    # measured posterior maximum, and faster than 384 on the full bench
-    # at every measured N. Budgets below the realized totals make the
-    # capacity guard truncate the posterior for speed — don't.
+    # leaf_budget: total compact leaf slots R. 0 (auto) resolves by the
+    # padded N (sampler._leaf_budget): 5 leaves/tree up to N=2048, 7.5 to
+    # 8192, 10 beyond (256/384/512 at m=50) — tiers chosen so R stays >=
+    # ~5 sigma above the MEASURED un-truncated posterior totals, which
+    # grow with N (mean/max 130/143 at N=200 ... 225/262 at N=4096,
+    # results/ab_r4/leaf_totals.json). Budgets below the realized totals
+    # make the capacity guard truncate the posterior for speed — don't.
     leaf_budget: int = 0
 
     # rank1 move-scan unroll factor (lax.scan ``unroll``). The scan is

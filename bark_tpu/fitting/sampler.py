@@ -112,23 +112,40 @@ def _refresh_chol(params: SamplerParams, n: int) -> tuple[int, str]:
     return 0, impl
 
 
-def _leaf_budget(params: SamplerParams) -> int:
+def _leaf_budget(params: SamplerParams, n: int) -> int:
     """Compact leaf-slot count R for refresh_style="leaf" (trace-time).
 
-    Auto (leaf_budget=0): 128-aligned, >= 5 leaves/tree on average (256 at
-    m=50). Measured posterior totals at the bench config (dense sampler,
-    no truncation, results/ab_r4/leaf_totals.json): mean 130 / max 143 at
-    N=200 and mean 155 / max 171 at N=1024 — so 256 leaves ~1.5x headroom
-    over the observed maximum and the capacity MH-guard essentially never
-    fires, while the tighter budget beats 384 on the full bench at every
-    measured N (results/ab_r4/ab_leaf.jsonl). Do NOT drop the floor below
-    the realized totals: R=128 at m=50 measured faster still, but it sits
-    BELOW the posterior mean — the guard then truncates constantly and
-    the chain no longer samples the intended posterior.
+    Auto (leaf_budget=0): 128-aligned, scaled with the padded N because
+    un-truncated posterior leaf totals GROW with the training set.
+    Measured at the bench config (dense sampler, no truncation,
+    results/ab_r4/leaf_totals.json, m=50): mean/max totals 130/143 at
+    N=200, 155/171 at N=1024, 187/209 at N=2048, 225/262 at N=4096 —
+    with per-snapshot spread sigma ~ 9-15. The auto tiers keep R >= ~5
+    sigma above the measured mean so the capacity MH-guard essentially
+    never fires (statistically invisible truncation):
+
+      n <= 2048 -> 5 leaves/tree   (256 at m=50; 7.5 sigma over the 2048
+                                    mean, and faster than 384 everywhere
+                                    measured — ab_leaf.jsonl)
+      n <= 8192 -> 7.5 leaves/tree (384 at m=50; 256 would sit only ~2
+                                    sigma above the N=4096 mean and
+                                    truncate the top percentile — the
+                                    throughput of 256 at N=4096 is NOT a
+                                    legitimate win)
+      beyond    -> 10 leaves/tree  (512 at m=50; extrapolated headroom —
+                                    re-measure totals before trusting
+                                    budgets at N >> 8192)
+
+    Do NOT force budgets below the realized totals: R=128 at m=50
+    measured faster still, but it sits BELOW the posterior mean — the
+    guard then truncates constantly and the chain no longer samples the
+    intended posterior.
     """
     if params.leaf_budget > 0:
         return params.leaf_budget
-    return max(128, -(-5 * params.num_trees // 128) * 128)
+    per_tree = 10.0 if n > 8192 else (7.5 if n > 2048 else 5.0)
+    slots = int(per_tree * params.num_trees)
+    return max(128, -(-slots // 128) * 128)
 
 
 def _resolve_styles(params: SamplerParams, n: int) -> SamplerParams:
@@ -361,7 +378,7 @@ def init_chain_state(
         # A = (nu/gamma) I_R + Z^T Z — the same quantities step()'s leaf
         # refresh produces, so the first move scan is indistinguishable
         # from any later one. No (N, N) object anywhere.
-        budget = _leaf_budget(params)
+        budget = _leaf_budget(params, X.shape[0])
         y_flat = y.reshape(-1)
         nu = JITTER + noise
         gamma = scale / params.num_trees
@@ -783,7 +800,7 @@ def _tree_moves_rank1(
             # through K0^-1 = (1/nu)(I - Z A^-1 Z^T) (Woodbury), so the
             # only sequential work is ONE (R, 2m+1)-RHS lower solve —
             # substitution length R instead of N.
-            budget = _leaf_budget(params)
+            budget = _leaf_budget(params, X.shape[0])
             L_A = state.kern.K  # (R, R)
             nu = JITTER + state.noise
             Z, total0 = _leaf_Z(state.forest, state.leaves, budget, mask)
@@ -1022,7 +1039,7 @@ def step(
             # R log(gamma/nu) term, so padding the budget is inert. The
             # (N, N) gram is never built; drift control is identical to
             # the dense refresh (exact quantities once per step).
-            budget = _leaf_budget(params)
+            budget = _leaf_budget(params, X.shape[0])
             y_flat = y.reshape(-1)
             Z, _ = _leaf_Z(forest, leaves, budget, mask)
             G = Z.T @ Z  # (R, R) — shared by both branches
