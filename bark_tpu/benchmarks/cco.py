@@ -118,33 +118,37 @@ def synthetic_powermaps(
             field += r.normal(0.0, 1.5) * np.cos(kx * gx + ky * gy + phase)
         return field
 
+    # downtilt-independent per-sector fields, computed once (only the
+    # vertical pattern depends on the downtilt; r4 code review)
+    base_pwr = []  # per site: (X, Y, sectors) at 0 downtilt-gain
+    elevs = []
+    for b in range(num_base_stations):
+        bx, by = sites[b]
+        dx, dy = gx - bx, gy - by
+        d2d = np.sqrt(dx * dx + dy * dy)
+        d3d = np.sqrt(d2d * d2d + (bs_z - ue_z) ** 2)
+        pathloss = 128.1 + 37.6 * np.log10(np.maximum(d3d, 35.0) / 1000.0)
+        # boresight elevation: angle below horizontal toward the UE
+        elevs.append(np.degrees(np.arctan2(bs_z - ue_z, np.maximum(d2d, 1.0))))
+        az_ue = np.degrees(np.arctan2(dy, dx))
+        sec = []
+        for s in range(sectors_per_bs):
+            az_bore = az_offsets[b] + 360.0 * s / sectors_per_bs
+            daz = (az_ue - az_bore + 180.0) % 360.0 - 180.0
+            horiz = -np.minimum(12.0 * (daz / 65.0) ** 2, 30.0)
+            sec.append(
+                18.0 - pathloss + horiz + shadow(seed * 1000 + b * 10 + s)
+            )
+        base_pwr.append(np.stack(sec, axis=-1))
+
     maps: dict[int, dict[str, np.ndarray]] = {}
     for dt in range(num_downtilts):
         per_site_pwr = []
         for b in range(num_base_stations):
-            bx, by = sites[b]
-            dx, dy = gx - bx, gy - by
-            d2d = np.sqrt(dx * dx + dy * dy)
-            d3d = np.sqrt(d2d * d2d + (bs_z - ue_z) ** 2)
-            pathloss = 128.1 + 37.6 * np.log10(np.maximum(d3d, 35.0) / 1000.0)
-            # boresight elevation: angle below horizontal toward the UE
-            elev = np.degrees(np.arctan2(bs_z - ue_z, np.maximum(d2d, 1.0)))
-            vert = -np.minimum(12.0 * ((elev - dt) / 10.0) ** 2, 30.0)
-            az_ue = np.degrees(np.arctan2(dy, dx))
-            sec_pwr = []
-            for s in range(sectors_per_bs):
-                az_bore = az_offsets[b] + 360.0 * s / sectors_per_bs
-                daz = (az_ue - az_bore + 180.0) % 360.0 - 180.0
-                horiz = -np.minimum(12.0 * (daz / 65.0) ** 2, 30.0)
-                rx_0dbm = (
-                    18.0
-                    - pathloss
-                    + horiz
-                    + vert
-                    + shadow(seed * 1000 + b * 10 + s)
-                )
-                sec_pwr.append(rx_0dbm.astype(np.float32))
-            per_site_pwr.append(np.stack(sec_pwr, axis=-1))
+            vert = -np.minimum(12.0 * ((elevs[b] - dt) / 10.0) ** 2, 30.0)
+            per_site_pwr.append(
+                (base_pwr[b] + vert[..., None]).astype(np.float32)
+            )
         maps[dt] = {
             "x": coords.astype(np.float64),
             "y": coords.astype(np.float64),
@@ -294,7 +298,7 @@ class CCORasterFormulation:
         return f_weak, g_over
 
 
-def _load_powermaps(powermaps_path) -> tuple[dict[int, dict], str]:
+def _load_powermaps(powermaps_path, seed: int) -> tuple[dict[int, dict], str]:
     """Real blobs when available, synthetic otherwise (the SVRBench rule)."""
     path = pathlib.Path(powermaps_path) if powermaps_path else _DATA_DIR
     files = sorted(path.glob("powermatrixDT*.npz")) if path.is_dir() else []
@@ -308,7 +312,10 @@ def _load_powermaps(powermaps_path) -> tuple[dict[int, dict], str]:
         raise FileNotFoundError(
             f"no powermatrixDT*.npz files under {powermaps_path}"
         )
-    return synthetic_powermaps(), "synthetic powermaps (no blobs found)"
+    return (
+        synthetic_powermaps(seed=seed),
+        f"synthetic powermaps (no blobs found; seed={seed})",
+    )
 
 
 @register_benchmark("CCOBench")
@@ -327,7 +334,10 @@ class CCOBench(Benchmark):
         if n_int_values not in (6, 11):
             raise ValueError("Only 6 and 11 int values are supported")
         self.n_int_values = n_int_values
-        data, self.data_source = _load_powermaps(powermaps_path)
+        # seed varies the synthetic network realization (site jitter,
+        # azimuths, shadowing) — multi-seed studies get distinct problem
+        # instances; ignored when real blobs are present
+        data, self.data_source = _load_powermaps(powermaps_path, seed)
         self.simulator = RSRPSimulator(data)
         self.formulation = CCORasterFormulation()
         num_sectors = self.simulator.num_total_sectors

@@ -64,12 +64,13 @@ from bark_tpu.fitting.proposals import (
     make_proposal_noise,
     propose_tree_packed,
 )
-from bark_tpu.fitting.traversal import all_node_subspaces, terminal_mask
+from bark_tpu.fitting.traversal import all_node_subspaces
 from bark_tpu.forest import (
     Forest,
     _split_decision,
     gram_from_leaves,
-    leaf_onehot,
+    indicator_from_targets,
+    leaf_rank_targets,
     pack_forest,
     route_forest,
     route_forest_select,
@@ -98,18 +99,19 @@ def _refresh_chol(params: SamplerParams, n: int) -> tuple[int, str]:
     impl = params.chol_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    elif impl == "pallas" and jax.default_backend() != "tpu":
-        # A forced Pallas impl would otherwise die deep inside pallas_call
-        # with a Mosaic lowering error on CPU/GPU backends (ADVICE r3).
-        raise ValueError(
-            'SamplerParams.chol_impl="pallas" requires a TPU backend '
-            f"(default backend is {jax.default_backend()!r}); use "
-            '"auto" or "xla"'
-        )
+    blk = 0
     if params.chol_block > 0:
         blk = params.chol_block if n % params.chol_block == 0 else 0
-        return blk, impl
-    return 0, impl
+    if blk > 0 and impl == "pallas" and jax.default_backend() != "tpu":
+        # Only a *reachable* Pallas path is an error (blk == 0 never calls
+        # the kernel): a forced Pallas impl would otherwise die deep inside
+        # pallas_call with a Mosaic lowering error on CPU/GPU (ADVICE r3).
+        raise ValueError(
+            'SamplerParams.chol_impl="pallas" with chol_block>0 requires a '
+            f"TPU backend (default backend is {jax.default_backend()!r}); "
+            'use "auto" or "xla"'
+        )
+    return blk, impl
 
 
 def _leaf_budget(params: SamplerParams, n: int) -> int:
@@ -140,11 +142,21 @@ def _leaf_budget(params: SamplerParams, n: int) -> int:
     measured faster still, but it sits BELOW the posterior mean — the
     guard then truncates constantly and the chain no longer samples the
     intended posterior.
+
+    The tiers are calibrated at the DEFAULT depth prior (alpha=0.95,
+    beta=2.0). A deeper-tree prior gets double the headroom (capped at
+    the per-tree structural maximum) rather than silently truncating —
+    re-measure totals before trusting auto budgets under custom priors.
     """
     if params.leaf_budget > 0:
         return params.leaf_budget
     per_tree = 10.0 if n > 8192 else (7.5 if n > 2048 else 5.0)
-    slots = int(per_tree * params.num_trees)
+    if params.alpha > 0.95 or params.beta < 2.0:
+        per_tree *= 2.0
+    slots = min(
+        int(per_tree * params.num_trees),
+        params.num_trees * ((params.node_limit + 1) // 2),
+    )
     return max(128, -(-slots // 128) * 128)
 
 
@@ -158,9 +170,15 @@ def _resolve_styles(params: SamplerParams, n: int) -> SamplerParams:
 
       - refresh "auto" -> "leaf" once padded N >= 512 (leaf-space refresh
         wins 2982-vs-1935 at N=512 and 2458-vs-863 at N=1024; dense "pair"
-        wins below: 7216-vs-5166 at N=50, 3665-vs-3347 at N=200);
+        wins below: 7216-vs-5166 at N=50, 3665-vs-3347 at N=200). An
+        EXPLICIT non-coeff scan_style opts out of the leaf resolution
+        (refresh falls back to "pair") — auto must never override a
+        user-pinned lowering, or A/B overrides like
+        measure(scan_style="lowrank") would silently measure the leaf
+        program instead (r4 code-review finding);
       - factor/leaf refreshes force the coeff scan (the only scan that
-        consumes the kernel through symmetric products);
+        consumes the kernel through symmetric products; explicit
+        conflicting combinations are rejected by params validation);
       - scan "auto" (dense refreshes) -> coeff at N >= 1024 (863 vs 839
         lowrank), lowrank at 256-1023 (1007 vs 971 plain at 512), plain
         below (5510 vs 5393 at 50).
@@ -169,7 +187,9 @@ def _resolve_styles(params: SamplerParams, n: int) -> SamplerParams:
         return params
     scan, refresh = params.scan_style, params.refresh_style
     if refresh == "auto":
-        refresh = "leaf" if n >= 512 else "pair"
+        refresh = (
+            "leaf" if n >= 512 and scan in ("auto", "coeff") else "pair"
+        )
     if refresh in ("factor", "leaf"):
         scan = "coeff"
     elif scan == "auto":
@@ -182,41 +202,22 @@ def _resolve_styles(params: SamplerParams, n: int) -> SamplerParams:
 def _leaf_Z(
     forest: Forest, leaves: jax.Array, budget: int, mask: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
-    """(N, R) compact leaf-indicator matrix + total leaf count.
+    """(N, R) budget-packed leaf-indicator matrix + total leaf count.
 
     Tree j's active leaves are ranked in node order and packed at offset
-    ``sum_{j'<j} num_leaves(j')``. The compact indicator matrix Z then
-    satisfies ``Z Z^T == m * gram`` exactly (same products as the
-    (N, m*node_limit) one-hot of gram_from_leaves — the packing is
-    injective on active leaves whenever total <= R; the move scan's
-    capacity guard keeps it there, and overflowing slots project to
-    nothing, the inert failure mode). Padded rows are zeroed.
-
-    Lowering: ONE MXU matmul ``E @ P`` of the per-node one-hot E (N, m*L)
-    against a (m*L, R) 0/1 projection built from the per-tree leaf ranks —
-    bf16 operands, f32 accumulation, bit-exact counts. Losing variants,
-    both measured on the full bench at (64 chains, N=1024, m=50),
-    results/ab_r4/ab_leaf.jsonl: per-row scatter-add (~90 ms/step — TPU
-    scatters again, the CLAUDE.md lesson) and a rank-gather + compare-
-    reduce (two (N, m) take_along_axis gathers ~30 ms each — the same
-    gather-vs-matmul lowering gap as route_forest_select).
+    ``sum_{j'<j} num_leaves(j')`` (forest.leaf_rank_targets + one
+    projection matmul, forest.indicator_from_targets — see there for the
+    measured scatter/gather losers). Z then satisfies
+    ``Z Z^T == m * gram`` exactly: the packing is injective on active
+    leaves whenever total <= R (the move scan's capacity guard keeps it
+    there; over-budget slots project to nothing and the callers NaN-poison
+    the MLL on overflow). Padded rows are zeroed.
     """
-    m, node_limit = forest.is_leaf.shape[-2:]
-    tmask = terminal_mask(forest)  # (m, node_limit) bool
-    ranks = jnp.cumsum(tmask, axis=-1).astype(jnp.int32) - 1
-    counts = jnp.sum(tmask, axis=-1).astype(jnp.int32)  # (m,)
+    tmask, ranks, counts = leaf_rank_targets(forest)
     base = jnp.cumsum(counts) - counts  # exclusive prefix
-    # non-leaf slots target index R -> one_hot gives an all-zero row
+    # non-leaf slots target index R -> all-zero projection row
     target = jnp.where(tmask, base[:, None] + ranks, budget)
-    P = jax.nn.one_hot(target.reshape(-1), budget, dtype=jnp.bfloat16)
-    E = leaf_onehot(leaves, node_limit, jnp.bfloat16).reshape(
-        leaves.shape[0], m * node_limit
-    )
-    Z = jax.lax.dot_general(
-        E, P,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    Z = indicator_from_targets(leaves, target, budget)
     return Z * mask[:, None], jnp.sum(counts)
 
 
@@ -352,11 +353,20 @@ def init_chain_state(
         else route_forest
     )
     leaves = route(forest, X, feat_types, params.max_depth)
-    gram = gram_from_leaves(
-        leaves, leaves, params.node_limit, mask, mask,
-        onehot_dtype=jnp.bfloat16 if params.gram_dtype == "bf16" else jnp.float32,
-    )
-    K = kernel_matrix(gram, noise, scale)
+
+    def dense_K():
+        # only the dense-kernel branches build the (N, N) gram; the leaf
+        # branch must stay N-free even for EAGER callers (jit DCE would
+        # hide the cost under run_chain, but init_chain_state is public —
+        # at N=32768 the dead gram would be gigabytes, r4 code review)
+        gram = gram_from_leaves(
+            leaves, leaves, params.node_limit, mask, mask,
+            onehot_dtype=(
+                jnp.bfloat16 if params.gram_dtype == "bf16" else jnp.float32
+            ),
+        )
+        return kernel_matrix(gram, noise, scale)
+
     if params.subspace_mode == "carry":
         subspaces = jax.vmap(
             lambda t: all_node_subspaces(t, bounds, feat_types, params.max_depth)
@@ -364,13 +374,14 @@ def init_chain_state(
     else:  # "walk": no subspace carry — proposals re-walk the parent chain
         subspaces = jnp.zeros((0,), jnp.float32)
     if params.kernel_backend == "chol":
+        K = dense_K()
         mll_val, _ = _chol_mll(K, y.reshape(-1), noise, pad_count)
         kern = KernState(K=K, K_inv=_empty(), K_logdet=_empty())
     elif (
         params.kernel_backend == "rank1" and params.refresh_style == "factor"
     ):
         # factor carry: L in the K slot, no inverse anywhere (see step())
-        mll_val, L = _chol_mll(K, y.reshape(-1), noise, pad_count)
+        mll_val, L = _chol_mll(dense_K(), y.reshape(-1), noise, pad_count)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
         kern = KernState(K=L, K_inv=_empty(), K_logdet=logdet)
     elif params.kernel_backend == "rank1" and params.refresh_style == "leaf":
@@ -382,7 +393,7 @@ def init_chain_state(
         y_flat = y.reshape(-1)
         nu = JITTER + noise
         gamma = scale / params.num_trees
-        Z, _ = _leaf_Z(forest, leaves, budget, mask)
+        Z, total0 = _leaf_Z(forest, leaves, budget, mask)
         A = Z.T @ Z + (nu / gamma) * jnp.eye(budget, dtype=jnp.float32)
         L_A = jnp.linalg.cholesky(A)
         logdet_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_A)))
@@ -392,9 +403,15 @@ def init_chain_state(
         s_y = jax.scipy.linalg.solve_triangular(L_A, Z.T @ y_flat, lower=True)
         quad = (y_flat @ y_flat - s_y @ s_y) / nu
         mll_val = 0.5 * (-quad - K_logdet + pad_count * jnp.log(nu))
+        # an INITIAL forest over the leaf budget cannot be packed (the
+        # capacity guard only blocks new grows) — poison the MLL with NaN
+        # so every move rejects and the corruption is visible in outputs,
+        # rather than silently sampling against a wrong kernel. The eager
+        # fit path raises a real error first (models/surrogate.fit).
+        mll_val = jnp.where(total0 <= budget, mll_val, jnp.nan)
         kern = KernState(K=L_A, K_inv=_empty(), K_logdet=K_logdet)
     else:
-        K_inv, K_logdet = chol_inv_logdet(K)
+        K_inv, K_logdet = chol_inv_logdet(dense_K())
         mll_val = masked_mll(K_inv, K_logdet, y, noise, pad_count)
         kern = KernState(K=_empty(), K_inv=K_inv, K_logdet=K_logdet)
     return ChainState(
@@ -1041,7 +1058,7 @@ def step(
             # the dense refresh (exact quantities once per step).
             budget = _leaf_budget(params, X.shape[0])
             y_flat = y.reshape(-1)
-            Z, _ = _leaf_Z(forest, leaves, budget, mask)
+            Z, total_r = _leaf_Z(forest, leaves, budget, mask)
             G = Z.T @ Z  # (R, R) — shared by both branches
             uz = Z.T @ y_flat
             yy = y_flat @ y_flat
@@ -1063,6 +1080,11 @@ def step(
             )[..., 0]
             quad2 = (yy - jnp.sum(s2 * s2, axis=-1)) / nu2
             mll2 = 0.5 * (-quad2 - K_logdet2 + pad_count * jnp.log(nu2))
+            # over-budget packing is unreachable from a valid init (the
+            # move scan rejects grows at capacity), but if an invalid
+            # state got in, keep the NaN poison flowing (see
+            # init_chain_state) instead of resuming on a wrong kernel
+            mll2 = jnp.where(total_r <= budget, mll2, jnp.nan)
             cur_mll, new_mll = mll2[0], mll2[1]
 
             log_alpha = log_q_prior + beta * (new_mll - cur_mll)

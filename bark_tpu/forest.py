@@ -223,11 +223,51 @@ def leaf_onehot(leaves: jax.Array, node_limit: int, dtype=jnp.float32) -> jax.Ar
     return jax.nn.one_hot(leaves, node_limit, dtype=dtype)
 
 
+def leaf_rank_targets(
+    forest_sample: Forest,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-tree dense leaf ranks: ``(tmask, ranks, counts)``.
+
+    ``ranks[j, l]`` is the node-order rank of leaf slot ``l`` among tree
+    j's active leaves (junk at non-leaf slots — mask with ``tmask``);
+    ``counts[j]`` the tree's leaf count. The shared first stage of every
+    compact-indicator packing (sampler budget packing and the per-tree
+    block packing below).
+    """
+    tmask = forest_sample.active & forest_sample.is_leaf  # (m, node_limit)
+    ranks = jnp.cumsum(tmask, axis=-1).astype(jnp.int32) - 1
+    counts = jnp.sum(tmask, axis=-1).astype(jnp.int32)
+    return tmask, ranks, counts
+
+
+def indicator_from_targets(
+    leaves: jax.Array, target: jax.Array, out_dim: int
+) -> jax.Array:
+    """(B, out_dim) 0/1 indicators: point i, tree j lights column
+    ``target[j, leaves[i, j]]`` (targets >= out_dim project to nothing).
+
+    Lowered as the per-node one-hot against a (m * node_limit, out_dim)
+    0/1 projection — one MXU matmul, no gathers, no scatters (bf16
+    operands with f32 accumulation keep counts exact; the gather/scatter
+    lowerings measured tens of ms at batch scale on TPU,
+    results/ab_r4/ab_leaf.jsonl).
+    """
+    m, node_limit = target.shape
+    P = jax.nn.one_hot(target.reshape(-1), out_dim, dtype=jnp.bfloat16)
+    E = leaf_onehot(leaves, node_limit, jnp.bfloat16).reshape(
+        leaves.shape[0], m * node_limit
+    )
+    return jax.lax.dot_general(
+        E, P,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def compact_leaf_indicator(
     forest_sample: Forest,
     leaves: jax.Array,
     max_leaves: int,
-    dtype=jnp.bfloat16,
 ) -> jax.Array:
     """(B, m * max_leaves) 0/1 leaf indicators with per-tree DENSE ranks.
 
@@ -237,27 +277,13 @@ def compact_leaf_indicator(
     a binary tree on node_limit slots) the packing is always injective, so
     ``Z Z^T`` equals ``m * gram`` exactly for ANY forest — no budget
     assumption, unlike the sampler's guarded global packing.
-
-    Lowered as the per-node one-hot against a (m * node_limit, m * max_leaves)
-    0/1 projection — one MXU matmul, no gathers (bf16 operands with f32
-    accumulation keep counts exact; the gather/scatter lowerings measured
-    tens of ms at batch scale on TPU, results/ab_r4/ab_leaf.jsonl).
     """
-    m, node_limit = forest_sample.is_leaf.shape[-2:]
+    m = forest_sample.is_leaf.shape[-2]
     r = m * max_leaves
-    tmask = forest_sample.active & forest_sample.is_leaf  # (m, node_limit)
-    ranks = jnp.cumsum(tmask, axis=-1).astype(jnp.int32) - 1
+    tmask, ranks, _ = leaf_rank_targets(forest_sample)
     base = max_leaves * jnp.arange(m, dtype=jnp.int32)[:, None]
     target = jnp.where(tmask, base + ranks, r)  # non-leaf slots -> zero row
-    P = jax.nn.one_hot(target.reshape(-1), r, dtype=dtype)
-    E = leaf_onehot(leaves, node_limit, dtype).reshape(
-        leaves.shape[0], m * node_limit
-    )
-    return jax.lax.dot_general(
-        E, P,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    return indicator_from_targets(leaves, target, r)
 
 
 def route_forest_auto(

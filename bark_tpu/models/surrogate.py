@@ -163,6 +163,34 @@ class BARKSurrogate(_BARKSurrogateBase):
         self._key = jax.random.key(seed)
         self._warmed_up = False
 
+    def _check_leaf_budget(self, start: BARKModel, params, n: int) -> None:
+        """Refuse a warm-start forest the leaf-space refresh cannot pack.
+
+        The sampler's capacity guard only blocks NEW grows; an initial
+        forest whose total leaf count already exceeds the (resolved) leaf
+        budget would NaN-poison the chain inside jit (sampler.py
+        init_chain_state). This is the eager boundary where a real error
+        with a fix is possible — it fires only on cross-run warm starts
+        with a smaller budget or custom deep priors (r4 code review).
+        """
+        from bark_tpu.fitting.sampler import _leaf_budget, _resolve_styles
+
+        resolved = _resolve_styles(params, n)
+        if resolved.refresh_style != "leaf":
+            return
+        budget = _leaf_budget(resolved, n)
+        totals = np.asarray(
+            (start.forest.is_leaf & start.forest.active).sum(axis=(-2, -1))
+        )
+        worst = int(totals.max())
+        if worst > budget:
+            raise ValueError(
+                f"warm-start forest has up to {worst} total leaves but the "
+                f"leaf-space refresh budget is {budget} at padded N={n}; "
+                "raise SamplerParams.leaf_budget (or set "
+                'refresh_style="pair") to fit this state'
+            )
+
     def _init_state(self) -> BARKModel:
         """Empty forests, noise 0.1, scale 1.0 (surrogates/bark.py:116-121)."""
         c = self.params.num_chains
@@ -192,6 +220,7 @@ class BARKSurrogate(_BARKSurrogateBase):
 
         self._key, k = jax.random.split(self._key)
         train_x, train_y = self.train_data
+        self._check_leaf_budget(start, params, train_x.shape[0])
         self.model = run_bark_sampler(
             k,
             start,

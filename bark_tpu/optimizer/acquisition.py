@@ -33,9 +33,7 @@ from bark_tpu.forest import (
     compact_leaf_indicator,
     gram_from_leaves,
     num_null_trees,
-    route_forest,
     route_forest_auto,
-    route_forest_select,
 )
 from bark_tpu.ops.linalg import JITTER, robust_chol_inv_logdet
 
@@ -85,9 +83,7 @@ def build_acquisition(
     n_null = num_null_trees(forest).astype(jnp.float32)
     # train routing by backend, like evaluate_acquisition: the gather walk
     # loses badly to the one-hot transition matmuls on TPU (bit-identical)
-    route = (
-        route_forest_select if jax.default_backend() == "tpu" else route_forest
-    )
+    route = route_forest_auto
 
     def per_sample(tree_sample: Forest, noise_s, scale_s, n_null_s):
         leaves = route(tree_sample, train_x, feat_types, max_depth)
@@ -140,11 +136,7 @@ def _evaluate_acquisition_dense(
     # (gathers carry a large fixed cost) and the one-hot transition-matmul
     # form is 4x faster on the MXU; on CPU the matmuls' O(B*m*L^2) FLOPs
     # lose badly to cheap gathers — measured both ways, as always.
-    route = (
-        route_forest_select
-        if jax.default_backend() == "tpu"
-        else route_forest
-    )
+    route = route_forest_auto
 
     def per_sample(tree_sample, noise_s, scale_s, n_null_s, leaves_s, K_inv_s, w_s):
         cand_leaves = route(tree_sample, candidates, feat_types, max_depth)
@@ -283,9 +275,7 @@ def build_acquisition_lr(
     else:
         row_block = 0
 
-    route = (
-        route_forest_select if jax.default_backend() == "tpu" else route_forest
-    )
+    route = route_forest_auto
 
     def per_sample(tree_sample: Forest, noise_s, scale_s, n_null_s):
         def block_stats(xb, yb, mb):
@@ -387,11 +377,7 @@ def _evaluate_acquisition_lr(
     node_limit = acq.forest.node_limit
     max_leaves = (node_limit + 1) // 2
 
-    route = (
-        route_forest_select
-        if jax.default_backend() == "tpu"
-        else route_forest
-    )
+    route = route_forest_auto
 
     def per_sample(tree_sample, beta, V, scale_s, var0_s):
         leaves = route(tree_sample, candidates, feat_types, max_depth)
@@ -501,11 +487,7 @@ def _evaluate_acquisition_ts(
     del kappa
     node_limit = acq.forest.node_limit
     max_leaves = (node_limit + 1) // 2
-    route = (
-        route_forest_select
-        if jax.default_backend() == "tpu"
-        else route_forest
-    )
+    route = route_forest_auto
     tree_sample = jax.tree.map(lambda a: a[0], acq.forest)
     leaves = route(tree_sample, candidates, feat_types, max_depth)
     h = compact_leaf_indicator(tree_sample, leaves, max_leaves)
@@ -567,11 +549,7 @@ def _evaluate_acquisition_mogp(
 ) -> jax.Array:
     """LCB at the target fidelity; lower is better."""
     node_limit = acq.forest.node_limit
-    route = (
-        route_forest_select
-        if jax.default_backend() == "tpu"
-        else route_forest
-    )
+    route = route_forest_auto
     tree = jax.tree.map(lambda a: a[0], acq.forest)
     cand_leaves = route(tree, candidates, feat_types, max_depth)
     k_vec = gram_from_leaves(cand_leaves, acq.train_leaves, node_limit)

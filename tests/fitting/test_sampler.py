@@ -451,3 +451,44 @@ def test_leaf_refresh_tempered_matches_dense():
     np.testing.assert_allclose(
         float(out["pair"].mll), float(out["leaf"].mll), rtol=1e-4
     )
+
+
+def test_resolve_styles_honors_explicit_overrides():
+    """Auto resolution must never override a user-pinned lowering: an
+    explicit non-coeff scan_style opts out of the leaf refresh (A/B
+    overrides like measure(scan_style='lowrank') must measure what they
+    say — r4 code-review finding), and explicit refresh styles are
+    preserved at every N."""
+    from bark_tpu.fitting.sampler import _resolve_styles
+
+    # explicit scan pins at large N -> refresh auto falls back to pair
+    for scan in ("plain", "lowrank", "aug"):
+        r = _resolve_styles(SamplerParams(num_trees=5, scan_style=scan), 1024)
+        assert (r.scan_style, r.refresh_style) == (scan, "pair"), scan
+    # explicit coeff still gets the leaf refresh at large N
+    r = _resolve_styles(SamplerParams(num_trees=5, scan_style="coeff"), 1024)
+    assert (r.scan_style, r.refresh_style) == ("coeff", "leaf")
+    # explicit refresh styles survive; auto scan resolves around them
+    r = _resolve_styles(
+        SamplerParams(num_trees=5, refresh_style="pair"), 2048
+    )
+    assert (r.scan_style, r.refresh_style) == ("coeff", "pair")
+    r = _resolve_styles(
+        SamplerParams(num_trees=5, refresh_style="leaf"), 64
+    )
+    assert (r.scan_style, r.refresh_style) == ("coeff", "leaf")
+
+
+def test_deep_prior_widens_auto_leaf_budget():
+    """Auto leaf budgets were calibrated at the default depth prior; a
+    deeper-tree prior (alpha>0.95 or beta<2) must get doubled headroom
+    rather than silently truncating (r4 code-review finding)."""
+    from bark_tpu.fitting.sampler import _leaf_budget
+
+    base = _leaf_budget(SamplerParams(num_trees=50), 1024)
+    deep = _leaf_budget(SamplerParams(num_trees=50, alpha=0.99), 1024)
+    assert base == 256 and deep == 512
+    # explicit budgets always win
+    assert _leaf_budget(
+        SamplerParams(num_trees=50, alpha=0.99, leaf_budget=300), 1024
+    ) == 300

@@ -12,9 +12,11 @@ sys.path.insert(0, ".")
 from bench import measure  # noqa: E402
 
 CONFIGS = [
-    # N=1024: dense baselines (recorded r3: default 839, coeff 863)
-    (1024, {}),
-    (1024, {"scan_style": "coeff"}),
+    # N=1024: dense baselines (recorded r3: default 839, coeff 863).
+    # refresh_style pinned: since r4, "auto" resolves to the leaf refresh
+    # at N >= 512 — un-pinned rows would measure leaf against itself.
+    (1024, {"refresh_style": "pair"}),
+    (1024, {"scan_style": "coeff", "refresh_style": "pair"}),
     # leaf refresh, budget sweep (auto = 384 at m=50)
     (1024, {"scan_style": "coeff", "refresh_style": "leaf"}),
     (1024, {"scan_style": "coeff", "refresh_style": "leaf",
@@ -22,7 +24,7 @@ CONFIGS = [
     (1024, {"scan_style": "coeff", "refresh_style": "leaf",
             "leaf_budget": 512}),
     # N=512: dense baseline (recorded r3: 1935)
-    (512, {}),
+    (512, {"refresh_style": "pair"}),
     (512, {"scan_style": "coeff", "refresh_style": "leaf"}),
     (512, {"scan_style": "coeff", "refresh_style": "leaf",
            "leaf_budget": 256}),

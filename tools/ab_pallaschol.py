@@ -11,13 +11,16 @@ import sys
 sys.path.insert(0, ".")
 from bench import measure  # noqa: E402
 
+# NOTE (r4): refresh_style pinned to "pair" for the chol rows — the
+# "auto" default now resolves to the leaf refresh at N >= 512, which
+# never calls the chol path these A/Bs exercise.
 CONFIGS = [
-    (1024, {}),  # auto: lowrank scan + pair refresh + pallas blk=64
-    (1024, {"chol_block": 128}),
+    (1024, {"refresh_style": "pair"}),  # auto: lowrank scan + pair refresh + pallas blk=64
+    (1024, {"refresh_style": "pair", "chol_block": 128}),
     (1024, {"scan_style": "coeff", "refresh_style": "factor"}),
     (1024, {"scan_style": "coeff", "refresh_style": "factor",
             "chol_block": 128}),
-    (512, {}),
+    (512, {"refresh_style": "pair"}),
     (512, {"scan_style": "coeff", "refresh_style": "factor"}),
 ]
 
