@@ -185,31 +185,46 @@ def route_forest_select(
     m, L = forest.feature.shape
     b = X.shape[0]
 
-    # one bulk gather, NOT a one-hot matmul: TPU matmuls default to bf16
-    # multiply, which would round the feature VALUES before the threshold
-    # comparison and misroute points near split boundaries (observed as a
-    # silently degraded BO trajectory). The 0/1 transition matmuls below
-    # are bf16-exact; data values must never pass through a matmul here.
-    xval = jnp.take(X, forest.feature, axis=1)  # (B, m, L)
     is_cat = (feat_types == FEAT_CAT)[forest.feature]  # (m, L)
-    dec = _split_decision(
-        xval, forest.threshold[None], is_cat[None]
-    ).astype(jnp.float32)  # (B, m, L)
-
     stay = forest.is_leaf.astype(jnp.float32)[None]  # (1, m, L)
     Lmat = jax.nn.one_hot(forest.left, L, dtype=jnp.float32)  # (m, L, L)
     Rmat = jax.nn.one_hot(forest.right, L, dtype=jnp.float32)
 
-    oh0 = jnp.zeros((b, m, L), jnp.float32).at[:, :, 0].set(1.0)
+    def walk(Xb):
+        # one bulk gather, NOT a one-hot matmul: TPU matmuls default to
+        # bf16 multiply, which would round the feature VALUES before the
+        # threshold comparison and misroute points near split boundaries
+        # (observed as a silently degraded BO trajectory). The 0/1
+        # transition matmuls below are bf16-exact; data values must never
+        # pass through a matmul here.
+        xval = jnp.take(Xb, forest.feature, axis=1)  # (Bb, m, L)
+        dec = _split_decision(
+            xval, forest.threshold[None], is_cat[None]
+        ).astype(jnp.float32)  # (Bb, m, L)
+        oh0 = jnp.zeros((Xb.shape[0], m, L), jnp.float32)
+        oh0 = oh0.at[:, :, 0].set(1.0)
 
-    def body(_, oh):
-        go = oh * (1.0 - stay)
-        left_next = jnp.einsum("bml,mln->bmn", go * dec, Lmat)
-        right_next = jnp.einsum("bml,mln->bmn", go * (1.0 - dec), Rmat)
-        return oh * stay + left_next + right_next
+        def body(_, oh):
+            go = oh * (1.0 - stay)
+            left_next = jnp.einsum("bml,mln->bmn", go * dec, Lmat)
+            right_next = jnp.einsum("bml,mln->bmn", go * (1.0 - dec), Rmat)
+            return oh * stay + left_next + right_next
 
-    oh = jax.lax.fori_loop(0, max_depth, body, oh0)
-    return jnp.argmax(oh, axis=-1).astype(jnp.int32)  # (B, m)
+        oh = jax.lax.fori_loop(0, max_depth, body, oh0)
+        return jnp.argmax(oh, axis=-1).astype(jnp.int32)  # (Bb, m)
+
+    # The walk's live transients are several (B, m, L) f32 buffers; at
+    # large B (x a chains vmap on top) they blow HBM — (128 chains, 4096,
+    # 50, 64) compiled to 4 x 6.25 GB temps and OOMed the chip. Chunk the
+    # rows through a lax.map past 2048 so the transient is one block's
+    # (blocks are independent: the walk carries nothing across rows).
+    if b <= 2048:
+        return walk(X)
+    blk = 1024
+    pad = (-b) % blk
+    Xp = jnp.pad(X, ((0, pad), (0, 0)))
+    leaves = jax.lax.map(walk, Xp.reshape(-1, blk, X.shape[1]))
+    return leaves.reshape(-1, m)[:b]
 
 
 def leaf_onehot(leaves: jax.Array, node_limit: int, dtype=jnp.float32) -> jax.Array:

@@ -180,3 +180,29 @@ def test_route_forest_select_matches_gather_walk():
         a = route_forest(tree, X, ft)
         b = route_forest_select(tree, X, ft)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_route_forest_select_chunked_matches_gather_walk():
+    """Past 2048 rows the select router chunks the walk through a lax.map
+    (the unchunked transients OOMed at (128 chains, 4096) on TPU); results
+    must stay identical to the gather walk, including the padded tail of a
+    non-multiple block count."""
+    import jax
+
+    from bark_tpu.benchmarks.tree_function import TreeFunction
+    from bark_tpu.fitting.prior import sample_forest_prior
+    from bark_tpu.forest import route_forest, route_forest_select
+
+    bench = TreeFunction(dim=3, cat_dim=1, num_cat=4, m=8, function_seed=3)
+    ft = jnp.asarray(bench.domain.feature_types())
+    bounds = jnp.asarray(bench.domain.bounds("bitmask"))
+    tree = jax.tree.map(
+        lambda a: a[0],
+        sample_forest_prior(jax.random.key(5), 8, bounds, ft, node_limit=32),
+    )
+    X = jnp.asarray(
+        bench.domain.sample(2500, np.random.default_rng(0)), jnp.float32
+    )
+    a = route_forest(tree, X, ft)
+    b = route_forest_select(tree, X, ft)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

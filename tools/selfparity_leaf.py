@@ -1,0 +1,96 @@
+"""Statistical self-parity: leaf-space refresh vs dense refresh at N=512.
+
+The r4 default switches the sampler's refresh to leaf space at padded
+N >= 512. Trajectory-identity tests cover small N (where f32 association
+cannot flip accepts); this is the *statistical* evidence at the scale the
+default actually serves: both refreshes run the same paper-style budget
+on the same data with independent keys, and chain-mean posterior moments
+are z-tested against each other (the tools/parity/run_parity.py
+methodology, applied bark_tpu-vs-bark_tpu).
+
+Writes results/ab_r4/leaf_selfparity.json. Run on a QUIET host.
+"""
+
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bark_tpu.benchmarks.tree_function import TreeFunction
+from bark_tpu.fitting.params import SamplerParams
+from bark_tpu.fitting.sampler import BARKModel, run_bark_sampler
+from bark_tpu.forest import create_empty_forest
+
+OUT = pathlib.Path(__file__).resolve().parent.parent / "results" / "ab_r4"
+CHAINS = 16
+
+
+def run(refresh, scan, key):
+    bench = TreeFunction(dim=5, cat_dim=0, num_cat=5, m=50, function_seed=1)
+    rng = np.random.default_rng(0)
+    X = bench.domain.sample(512, rng)
+    y = bench.f(X)
+    y = (y - y.mean()) / y.std()
+    p = SamplerParams(
+        warmup_steps=200, num_samples=50, steps_per_sample=4,
+        num_chains=CHAINS, num_trees=50, refresh_style=refresh,
+        scan_style=scan,
+    )
+    bounds = jnp.asarray(bench.domain.bounds("bitmask"))
+    ft = jnp.asarray(bench.domain.feature_types())
+    forest = create_empty_forest(50, p.node_limit, batch_shape=(CHAINS,))
+    model = BARKModel(forest, jnp.full((CHAINS,), 0.1), jnp.ones((CHAINS,)))
+    out = run_bark_sampler(
+        key, model, jnp.asarray(X), jnp.asarray(y)[:, None], bounds, ft, p
+    )
+    tmask = np.asarray(out.forest.is_leaf & out.forest.active)
+    depth = np.asarray(out.forest.depth)
+    # per-chain means over samples (chains are the independent units)
+    stats = {
+        "noise_mean": np.asarray(out.noise).mean(axis=1),
+        "leaves_per_tree": tmask.sum(axis=-1).mean(axis=(1, 2)),
+        "leaf_depth_mean": np.array([
+            depth[c][tmask[c]].mean() for c in range(CHAINS)
+        ]),
+        "leaf_depth_var": np.array([
+            depth[c][tmask[c]].var() for c in range(CHAINS)
+        ]),
+    }
+    return stats
+
+
+def summarize(v):
+    v = np.asarray(v, np.float64)
+    return float(v.mean()), float(v.std(ddof=1) / np.sqrt(len(v)))
+
+
+def main():
+    a = run("pair", "lowrank", jax.random.key(11))
+    b = run("leaf", "coeff", jax.random.key(23))
+    rows = []
+    for metric in a:
+        (ma, sa), (mb, sb) = summarize(a[metric]), summarize(b[metric])
+        z = abs(ma - mb) / (np.sqrt(sa**2 + sb**2) + 1e-12)
+        rows.append({
+            "metric": metric, "pair": ma, "pair_se": sa,
+            "leaf": mb, "leaf_se": sb, "z": float(z),
+            "pass": bool(z <= 4.0),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    OUT.mkdir(parents=True, exist_ok=True)
+    (OUT / "leaf_selfparity.json").write_text(json.dumps({
+        "config": "TreeFunction dim=5 m=50 N=512, 16 chains, "
+                  "200 warmup + 50x4 steps, independent keys",
+        "rows": rows,
+    }, indent=1))
+    if not all(r["pass"] for r in rows):
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
