@@ -89,16 +89,20 @@ class SamplerParams:
     hot_style: str = "walk_select"
 
     # rank1 backend: lowering of the once-per-step exact refresh.
-    #   "auto" (default) — resolve by padded N at trace time to the
-    #     measured full-bench winner (sampler._resolve_styles): "leaf"
-    #     once N >= 512, "pair" below. A/Bs on TPU v5e, 64 chains
-    #     (results/ab_r4/ab_leaf.jsonl): leaf-vs-best-dense steps/s/chip
-    #     N=512 2982 vs 1935, N=1024 2458 vs 863; dense wins at N=50
-    #     (7216 vs 5166) and N=200 (3665 vs 3347).
+    #   "auto" (default) — resolve by padded N at trace time
+    #     (sampler._resolve_styles): "leaf" once N >= 512 (full-bench
+    #     wins, results/ab_r4/ab_leaf.jsonl: 2982 vs 1935 at N=512,
+    #     2458 vs 863 at N=1024), "onesolve" below (dense wins on speed
+    #     at N=50/200 — 7216/3665 vs 5166/3347 — and onesolve's
+    #     factor-based branch MLLs are the f64-accurate form on TPU,
+    #     where the explicit-inverse quad loses ~58 nats at low noise;
+    #     results/ab_r4/leaf_numerics.md).
     #   "pair" — two chol_inv_logdet calls (cur/new); the N-RHS triangular
     #     solve inside each lowers to a ~2.5 ms serial substitution fusion
     #     on TPU, twice per step — the single largest cost after the
-    #     hot_style fix (device profile, CLAUDE.md).
+    #     hot_style fix (device profile, CLAUDE.md). Its branch MLLs ride
+    #     the explicit inverse — inaccurate on TPU at (large N, small
+    #     noise); prefer onesolve there (leaf_numerics.md).
     #   "batched" — one (2, N, N) batched factorize+invert (measured
     #     neutral: the serial solve just doubles inside one op).
     #   "onesolve" — both MLLs from one batched Cholesky + single-RHS

@@ -187,8 +187,15 @@ def _resolve_styles(params: SamplerParams, n: int) -> SamplerParams:
         return params
     scan, refresh = params.scan_style, params.refresh_style
     if refresh == "auto":
+        # dense tier resolves to "onesolve", not "pair": both branch MLLs
+        # come from the Cholesky FACTOR (z = L^-1 y), which measured
+        # f64-accurate on TPU where the explicit-inverse form
+        # (chol_inv_logdet + masked_mll quad) is off by ~58 nats at
+        # (N=512, nu=0.011) — TPU's TriangularSolve/inverse expanders
+        # lose cond^2 accuracy (results/ab_r4/leaf_numerics.md).
+        # Perf-neutral (5516 vs 5510, r2 A/B).
         refresh = (
-            "leaf" if n >= 512 and scan in ("auto", "coeff") else "pair"
+            "leaf" if n >= 512 and scan in ("auto", "coeff") else "onesolve"
         )
     if refresh in ("factor", "leaf"):
         scan = "coeff"
@@ -400,8 +407,16 @@ def init_chain_state(
         K_logdet = (
             X.shape[0] * jnp.log(nu) + budget * jnp.log(gamma / nu) + logdet_A
         )
-        s_y = jax.scipy.linalg.solve_triangular(L_A, Z.T @ y_flat, lower=True)
-        quad = (y_flat @ y_flat - s_y @ s_y) / nu
+        # residual form, NOT (y'y - ||s||^2)/nu: that difference is
+        # ~nu*N computed from O(N)-magnitude f32 sums — at small noise
+        # the ~1% cancellation error corrupts the low-noise likelihood
+        # and biases the posterior (measured z=28 on the noise mean,
+        # results/ab_r4/leaf_selfparity.json). Here the cancellation
+        # happens per element on O(1) operands: exact same math.
+        w_y = jax.scipy.linalg.cho_solve(
+            (L_A, True), Z.T @ y_flat
+        )
+        quad = y_flat @ (y_flat - Z @ w_y) / nu
         mll_val = 0.5 * (-quad - K_logdet + pad_count * jnp.log(nu))
         # an INITIAL forest over the leaf budget cannot be packed (the
         # capacity guard only blocks new grows) — poison the MLL with NaN
@@ -597,6 +612,24 @@ def _tree_moves_rank1(
 
     y_flat = y.reshape(-1)
     mll_corr = pad_count * jnp.log(JITTER + state.noise)
+
+    def seed_mll(quad0, logdet0):
+        """Scan-consistent starting MLL — NOT state.mll.
+
+        Every move's new_mll is built from the hoisted (quad, logdet)
+        arithmetic; the carried state.mll came from the refresh's
+        *different* f32 program. Seeding the scan with state.mll injects
+        the cross-program drift (~|mll| * 1e-6 per step, correlated
+        across all m moves of the step) straight into every log-accept
+        ratio — a pseudo-marginal-style bias that measurably flattened
+        the posterior toward the prior under the leaf refresh (noise
+        mean 0.035 vs 0.013, z=28 — results/ab_r4/leaf_selfparity.json
+        pre-fix rows; the pair path only dodged it because its hoist
+        happens to repeat the refresh's arithmetic). Computing the seed
+        from the hoist's own quantities makes the MH ratios exact by
+        construction for every (refresh, scan) pairing.
+        """
+        return 0.5 * (-quad0 - logdet0 + mll_corr)
 
     def tree_move(carry, inputs):
         K_inv, K_logdet, v_y, quad, cur_mll = carry
@@ -794,7 +827,8 @@ def _tree_moves_rank1(
         V0_all = jnp.einsum("nk,mkt->mnt", K0_inv, W_all)
         (P, Q, K_logdet, _, _, cur_mll), accepts = jax.lax.scan(
             tree_move_lowrank,
-            (zeros, zeros, state.kern.K_logdet, v_y0, quad0, state.mll),
+            (zeros, zeros, state.kern.K_logdet, v_y0, quad0,
+             seed_mll(quad0, state.kern.K_logdet)),
             (
                 W_all,
                 V0_all,
@@ -814,19 +848,25 @@ def _tree_moves_rank1(
         if params.refresh_style == "leaf":
             # leaf-factor carry: kern.K is chol(A), A = (nu/gamma) I_R +
             # Z^T Z of the *current* kernel. Every hoisted product comes
-            # through K0^-1 = (1/nu)(I - Z A^-1 Z^T) (Woodbury), so the
-            # only sequential work is ONE (R, 2m+1)-RHS lower solve —
-            # substitution length R instead of N.
+            # through K0^-1 v = (v - Z A^-1 Z^T v)/nu (Woodbury) in
+            # RESIDUAL form — not the Gram-difference form
+            # ((v'v - ||L^-1 Z'v||^2)/nu), whose global-sum cancellation
+            # corrupts the likelihood at small noise (measured z=28 bias
+            # on the noise posterior, results/ab_r4/leaf_selfparity.json
+            # pre-fix row). Sequential work: ONE (R, 2m+1)-RHS
+            # Cholesky solve — substitution length R instead of N.
             budget = _leaf_budget(params, X.shape[0])
             L_A = state.kern.K  # (R, R)
             nu = JITTER + state.noise
             Z, total0 = _leaf_Z(state.forest, state.leaves, budget, mask)
             rhs = jnp.concatenate([Z.T @ W_flat, (Z.T @ y_flat)[:, None]], 1)
-            Ssol = jax.scipy.linalg.solve_triangular(L_A, rhs, lower=True)
-            Sw, s_y = Ssol[:, :-1], Ssol[:, -1]
-            Hm = (W_flat.T @ W_flat - Sw.T @ Sw) / nu
-            t0_all = ((W_flat.T @ y_flat - Sw.T @ s_y) / nu).reshape(m, 2)
-            quad0 = (y_flat @ y_flat - s_y @ s_y) / nu
+            U = jax.scipy.linalg.cho_solve((L_A, True), rhs)  # (R, 2m+1)
+            resid_W = W_flat - Z @ U[:, :-1]  # (N, 2m)
+            resid_y = y_flat - Z @ U[:, -1]
+            Hm = (W_flat.T @ resid_W) / nu
+            Hm = 0.5 * (Hm + Hm.T)  # exact-symmetric (the scan assumes it)
+            t0_all = ((W_flat.T @ resid_y) / nu).reshape(m, 2)
+            quad0 = (y_flat @ resid_y) / nu
         elif params.refresh_style == "factor":
             # kern carries L (chol of K0), never K0^-1: every quantity the
             # coeff scan needs is a symmetric product through
@@ -868,8 +908,8 @@ def _tree_moves_rank1(
             )
             (_, _, K_logdet, _, cur_mll, _), accepts = jax.lax.scan(
                 functools.partial(tree_move_coeff, cap=budget),
-                (zeros_S, zeros_d, state.kern.K_logdet, quad0, state.mll,
-                 total0),
+                (zeros_S, zeros_d, state.kern.K_logdet, quad0,
+                 seed_mll(quad0, state.kern.K_logdet), total0),
                 (
                     Tv_all,
                     E_all,
@@ -883,7 +923,8 @@ def _tree_moves_rank1(
         else:
             (_, _, K_logdet, _, cur_mll), accepts = jax.lax.scan(
                 tree_move_coeff,
-                (zeros_S, zeros_d, state.kern.K_logdet, quad0, state.mll),
+                (zeros_S, zeros_d, state.kern.K_logdet, quad0,
+                 seed_mll(quad0, state.kern.K_logdet)),
                 (
                     Tv_all,
                     E_all,
@@ -903,7 +944,8 @@ def _tree_moves_rank1(
         A0 = jnp.concatenate([state.kern.K_inv, v_y0[:, None]], axis=1)
         (A, K_logdet, _, cur_mll), accepts = jax.lax.scan(
             tree_move_aug,
-            (A0, state.kern.K_logdet, quad0, state.mll),
+            (A0, state.kern.K_logdet, quad0,
+             seed_mll(quad0, state.kern.K_logdet)),
             (W_all, batch.log_q_prior, jnp.log(batch.u_accept)),
             unroll=params.scan_unroll,
         )
@@ -911,7 +953,8 @@ def _tree_moves_rank1(
     else:
         (K_inv, K_logdet, _, _, cur_mll), accepts = jax.lax.scan(
             tree_move,
-            (state.kern.K_inv, state.kern.K_logdet, v_y0, quad0, state.mll),
+            (state.kern.K_inv, state.kern.K_logdet, v_y0, quad0,
+             seed_mll(quad0, state.kern.K_logdet)),
             (W_all, batch.log_q_prior, jnp.log(batch.u_accept)),
             unroll=params.scan_unroll,
         )
@@ -1061,7 +1104,6 @@ def step(
             Z, total_r = _leaf_Z(forest, leaves, budget, mask)
             G = Z.T @ Z  # (R, R) — shared by both branches
             uz = Z.T @ y_flat
-            yy = y_flat @ y_flat
             nu2 = jnp.stack([JITTER + state.noise, JITTER + new_noise])
             gam2 = jnp.stack([state.scale, new_scale]) / params.num_trees
             eyeR = jnp.eye(budget, dtype=G.dtype)
@@ -1075,10 +1117,14 @@ def step(
                 + budget * jnp.log(gam2 / nu2)
                 + logdet_A2
             )
-            s2 = jax.scipy.linalg.solve_triangular(
-                L2, jnp.broadcast_to(uz, (2, uz.size))[..., None], lower=True
-            )[..., 0]
-            quad2 = (yy - jnp.sum(s2 * s2, axis=-1)) / nu2
+            # residual-form quadratic (see the coeff-hoist/init branches:
+            # the Gram-difference form cancels catastrophically at small
+            # noise and biases the noise posterior)
+            w2 = jax.scipy.linalg.cho_solve(
+                (L2, True), jnp.broadcast_to(uz, (2, uz.size))[..., None]
+            )[..., 0]  # (2, R) = A_b^{-1} Z^T y
+            resid2 = y_flat[None, :] - w2 @ Z.T  # (2, N)
+            quad2 = (resid2 @ y_flat) / nu2
             mll2 = 0.5 * (-quad2 - K_logdet2 + pad_count * jnp.log(nu2))
             # over-budget packing is unreachable from a valid init (the
             # move scan rejects grows at capacity), but if an invalid

@@ -196,6 +196,14 @@ def blocked_cholesky(
 def chol_inv_logdet(
     K: jax.Array, block: int = 0, impl: str = "xla"
 ) -> tuple[jax.Array, jax.Array]:
+    # ACCURACY NOTE (r4, results/ab_r4/leaf_numerics.md): the explicit
+    # inverse squares the condition number; on TPU the eye-RHS
+    # TriangularSolve/assembly loses ~cond*eps — quadratic forms through
+    # the returned K_inv measured ~58 nats of MLL error at (N=512,
+    # nu=0.011), where the factor form (z = L^-1 y) errs 0.09 and CPU f32
+    # errs 0.02. Keep MLL-critical quadratics on the factor (the
+    # onesolve/leaf refreshes do); use K_inv for carries and posterior
+    # algebra at benign condition numbers.
     """Dense inverse and logdet of a PD matrix via Cholesky.
 
     Replaces the reference's ``np.linalg.inv`` + ``slogdet``

@@ -388,7 +388,7 @@ def test_auto_refresh_resolves_to_leaf_at_large_n():
 
     p = SamplerParams(num_trees=5)
     lo = _resolve_styles(p, 256)
-    assert (lo.refresh_style, lo.scan_style) == ("pair", "lowrank")
+    assert (lo.refresh_style, lo.scan_style) == ("onesolve", "lowrank")
     hi = _resolve_styles(p, 512)
     assert (hi.refresh_style, hi.scan_style) == ("leaf", "coeff")
 
@@ -461,10 +461,11 @@ def test_resolve_styles_honors_explicit_overrides():
     preserved at every N."""
     from bark_tpu.fitting.sampler import _resolve_styles
 
-    # explicit scan pins at large N -> refresh auto falls back to pair
+    # explicit scan pins at large N -> refresh auto falls back to the
+    # dense factor-MLL refresh
     for scan in ("plain", "lowrank", "aug"):
         r = _resolve_styles(SamplerParams(num_trees=5, scan_style=scan), 1024)
-        assert (r.scan_style, r.refresh_style) == (scan, "pair"), scan
+        assert (r.scan_style, r.refresh_style) == (scan, "onesolve"), scan
     # explicit coeff still gets the leaf refresh at large N
     r = _resolve_styles(SamplerParams(num_trees=5, scan_style="coeff"), 1024)
     assert (r.scan_style, r.refresh_style) == ("coeff", "leaf")
