@@ -19,7 +19,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bark_tpu.domain import CategoricalInput, Domain, IntegerInput
+from bark_tpu.domain import (
+    CategoricalInput,
+    ContinuousInput,
+    Domain,
+    IntegerInput,
+)
+from bark_tpu.strategies.capabilities import validate_domain
+
+#: the baseline strategies' acquisition paths (relaxed-box LCB, ConfigSpace,
+#: Sobol grid, Entmoot MIP) are all unconstrained — they neither lower nor
+#: reject domain constraints, so constructing them on a constrained domain
+#: must fail fast (capabilities.validate_domain) rather than silently
+#: propose infeasible points.
+_BASELINE_FEATURES = (ContinuousInput, IntegerInput, CategoricalInput)
 
 
 def _relax_bounds(domain: Domain) -> tuple[np.ndarray, list[tuple[int, int]]]:
@@ -53,9 +66,13 @@ class RelaxedGPStrategy:
     ``fit_hypers=False`` for the round-1 fixed-lengthscale behavior.
     """
 
+    SUPPORTED_FEATURES = _BASELINE_FEATURES
+    SUPPORTED_CONSTRAINTS = ()
+
     def __init__(self, domain: Domain, seed: int = 0, kappa: float = 1.96,
                  num_candidates: int = 2048, fit_hypers: bool = True,
                  fit_steps: int = 150):
+        validate_domain(type(self), domain)
         self.domain = domain
         self.kappa = kappa
         self.num_candidates = num_candidates
@@ -192,7 +209,11 @@ class SMACStrategy:
     own pyproject too).
     """
 
+    SUPPORTED_FEATURES = _BASELINE_FEATURES
+    SUPPORTED_CONSTRAINTS = ()
+
     def __init__(self, domain: Domain, seed: int = 0, n_trials: int = 100):
+        validate_domain(type(self), domain)
         try:
             import ConfigSpace as cs
             from smac import HyperparameterOptimizationFacade, Scenario
@@ -317,10 +338,14 @@ class GridUCBStrategy:
     counterpart of BART's.
     """
 
+    SUPPORTED_FEATURES = _BASELINE_FEATURES
+    SUPPORTED_CONSTRAINTS = ()
+
     def __init__(self, domain: Domain, surrogate=None, seed: int = 0,
                  kappa: float = 1.96, max_grid: int = 2**14, params=None):
         from bark_tpu.models.surrogate import BARKSurrogate
 
+        validate_domain(type(self), domain)
         self.domain = domain
         self.surrogate = surrogate or BARKSurrogate(domain, params, seed=seed)
         self.kappa = kappa
@@ -394,8 +419,12 @@ class EntmootStrategy:
     when it is present.
     """
 
+    SUPPORTED_FEATURES = _BASELINE_FEATURES
+    SUPPORTED_CONSTRAINTS = ()
+
     def __init__(self, domain: Domain, seed: int = 0,
                  time_limit: int = 60, mip_gap: float = 0.05):
+        validate_domain(type(self), domain)
         try:
             from entmoot import Enting, GurobiOptimizer, ProblemConfig
         except ImportError as e:

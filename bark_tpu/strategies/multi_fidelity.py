@@ -28,10 +28,17 @@ from bark_tpu.models.sampling import fstar_samples_mogp
 from bark_tpu.optimizer.acquisition import DEFAULT_KAPPA, build_acquisition_mogp
 from bark_tpu.optimizer.fidelity import propose_fidelity_information_based
 from bark_tpu.optimizer.search import propose, sample_feasible
+from bark_tpu.strategies.capabilities import validate_domain
+from bark_tpu.strategies.tree_kernel import TreeKernelStrategy
 
 
 class MultiFidelityStrategy:
     """Ask/tell MF-BO driver; ``ask`` returns ``(x (1, D), fidelity int)``."""
+
+    # same search/centering machinery as TreeKernelStrategy -> same
+    # declared capabilities (strategies/capabilities.py)
+    SUPPORTED_FEATURES = TreeKernelStrategy.SUPPORTED_FEATURES
+    SUPPORTED_CONSTRAINTS = TreeKernelStrategy.SUPPORTED_CONSTRAINTS
 
     def __init__(
         self,
@@ -44,6 +51,7 @@ class MultiFidelityStrategy:
         num_rounds: int = 3,
         num_fstar: int = 16,
     ):
+        validate_domain(type(self), domain)
         self.domain = domain
         self.fidelity_costs = list(fidelity_costs)
         self.num_tasks = len(self.fidelity_costs)
