@@ -166,20 +166,25 @@ def _resolve_styles(params: SamplerParams, n: int) -> SamplerParams:
     Idempotent; called at every public entry (init_chain_state / step) so
     direct callers and the chain drivers agree. All thresholds are from
     full-bench A/Bs on TPU v5e at 64 chains (results/ab_r4/ab_leaf.jsonl,
-    results/ab_r3/ab_{coeff,factor}.jsonl):
+    results/ab_r5/ab_leaf_midtier.jsonl, results/ab_r3/ab_coeff.jsonl):
 
-      - refresh "auto" -> "leaf" once padded N >= 512 (leaf-space refresh
-        wins 2982-vs-1935 at N=512 and 2458-vs-863 at N=1024; dense "pair"
-        wins below: 7216-vs-5166 at N=50, 3665-vs-3347 at N=200). An
+      - refresh "auto" -> "leaf" once padded N >= 256 (leaf-space refresh
+        wins 2982-vs-1935 at N=512, 2458-vs-863 at N=1024, 3152-vs-2341
+        at N=384, and ties at N=256 (3330 vs 3316, twice-repeated — r5
+        mid-tier A/B); dense wins below: 7216-vs-5166 at N=50,
+        3665-vs-3347 at N=200. The tie-at-256 resolves to leaf because it
+        also removes the tier's explicit K^-1 — the TPU-inaccurate object
+        at low noise (results/ab_r4/leaf_numerics.md finding 1). An
         EXPLICIT non-coeff scan_style opts out of the leaf resolution
-        (refresh falls back to "pair") — auto must never override a
+        (refresh falls back to "onesolve") — auto must never override a
         user-pinned lowering, or A/B overrides like
         measure(scan_style="lowrank") would silently measure the leaf
         program instead (r4 code-review finding);
       - factor/leaf refreshes force the coeff scan (the only scan that
         consumes the kernel through symmetric products; explicit
         conflicting combinations are rejected by params validation);
-      - scan "auto" (dense refreshes) -> coeff at N >= 1024 (863 vs 839
+      - scan "auto" (dense refreshes, reachable only via an explicit
+        refresh pin or N < 256) -> coeff at N >= 1024 (863 vs 839
         lowrank), lowrank at 256-1023 (1007 vs 971 plain at 512), plain
         below (5510 vs 5393 at 50).
     """
@@ -195,7 +200,7 @@ def _resolve_styles(params: SamplerParams, n: int) -> SamplerParams:
         # lose cond^2 accuracy (results/ab_r4/leaf_numerics.md).
         # Perf-neutral (5516 vs 5510, r2 A/B).
         refresh = (
-            "leaf" if n >= 512 and scan in ("auto", "coeff") else "onesolve"
+            "leaf" if n >= 256 and scan in ("auto", "coeff") else "onesolve"
         )
     if refresh in ("factor", "leaf"):
         scan = "coeff"

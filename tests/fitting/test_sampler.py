@@ -286,9 +286,11 @@ def test_deterministic_given_key():
 
 
 def test_auto_scan_resolves_to_lowrank_at_large_n():
-    """scan_style="auto" must dispatch to the deferred low-rank carry once
-    the padded N crosses the threshold (256): same keys => trajectories
-    identical to an explicit scan_style="lowrank" run (exact in x64)."""
+    """With a pinned dense refresh, scan_style="auto" must dispatch to the
+    deferred low-rank carry once the padded N crosses the threshold (256):
+    same keys => trajectories identical to an explicit scan_style="lowrank"
+    run (exact in x64). (Unpinned, refresh auto resolves to "leaf" at this
+    N since r5 — the dense lowrank tier is reachable only by opt-in.)"""
     dom, X, y = make_problem(n=256, seed=6)
     out = {}
     for style in ("auto", "lowrank"):
@@ -299,6 +301,7 @@ def test_auto_scan_resolves_to_lowrank_at_large_n():
             num_chains=1,
             num_trees=5,
             scan_style=style,
+            refresh_style="onesolve",
         )
         forest = create_empty_forest(
             params.num_trees, params.node_limit, batch_shape=(1,)
@@ -382,15 +385,21 @@ def test_leaf_refresh_capacity_guard():
 
 def test_auto_refresh_resolves_to_leaf_at_large_n():
     """refresh_style="auto" must dispatch to the leaf-space refresh (+coeff
-    scan) once padded N >= 512 — same keys => trajectories identical to an
-    explicit coeff+leaf run — and to the dense pair refresh below."""
+    scan) once padded N >= 256 (the r5 mid-tier A/B moved the threshold
+    down from 512) — same keys => trajectories identical to an explicit
+    coeff+leaf run — and to the dense onesolve refresh below."""
     from bark_tpu.fitting.sampler import _resolve_styles
 
     p = SamplerParams(num_trees=5)
-    lo = _resolve_styles(p, 256)
-    assert (lo.refresh_style, lo.scan_style) == ("onesolve", "lowrank")
+    lo = _resolve_styles(p, 224)
+    assert (lo.refresh_style, lo.scan_style) == ("onesolve", "plain")
+    mid = _resolve_styles(p, 256)
+    assert (mid.refresh_style, mid.scan_style) == ("leaf", "coeff")
     hi = _resolve_styles(p, 512)
     assert (hi.refresh_style, hi.scan_style) == ("leaf", "coeff")
+    # explicit non-coeff scan pins opt OUT of the leaf resolution
+    pinned = _resolve_styles(p.with_(scan_style="lowrank"), 512)
+    assert (pinned.refresh_style, pinned.scan_style) == ("onesolve", "lowrank")
 
     dom, X, y = make_problem(n=512, seed=6)
     bounds = jnp.asarray(dom.bounds("bitmask"))
