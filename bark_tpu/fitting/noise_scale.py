@@ -58,12 +58,36 @@ def _softplus_log_q_sq(old, new, step_var):
 
     Parity: noise_scale_proposals.py:108-119 — the squared-difference term in
     inverse-softplus space plus the log-derivative correction terms.
+
+    NOTE this expression is NOT a valid Hastings ratio: the Gaussian kernel
+    in inverse-softplus space is symmetric, so its squared-difference term
+    cancels in q(old|new)/q(new|old) and keeping it biases the stationary
+    law (measured + derived in results/diagnostics/qratio_bug.md). It is
+    used only under ``params.q_ratio_style == "reference"`` for
+    like-for-like parity with the reference's transition kernel.
     """
     return (
         (jnp.log(jnp.expm1(old)) - jnp.log(jnp.expm1(new))) ** 2 / step_var
         + jnp.log(-jnp.expm1(-old))
         - jnp.log(-jnp.expm1(-new))
     )
+
+
+def _softplus_log_jac_ratio(old, new):
+    """Correct softplus-walk Hastings ratio, log q(old|new) - log q(new|old).
+
+    With t(x) = softplus^-1(x) and a symmetric Gaussian step in t-space,
+    q(y|x) = N(t(y); t(x), s^2) |t'(y)| and the kernel term cancels in the
+    ratio; only the Jacobian |t'(x)| = 1/(1 - e^-x) survives:
+
+        log q(old|new) - log q(new|old) = log t'(old) - log t'(new)
+                                        = -log(-expm1(-old)) + log(-expm1(-new))
+
+    A prior-only MH chain under this ratio reproduces the analytic
+    inverse-gamma prior on every quantile (the reference's formula does
+    not — results/diagnostics/qratio_bug.md).
+    """
+    return -jnp.log(-jnp.expm1(-old)) + jnp.log(-jnp.expm1(-new))
 
 
 def get_noise_scale_proposal(
@@ -76,12 +100,17 @@ def get_noise_scale_proposal(
     """
     k_noise, k_scale = jax.random.split(key)
 
+    correct = params.q_ratio_style == "correct"
     if params.use_softplus_transform:
         if not params.sample_scale:
             # default path: noise-only softplus walk + inverse-gamma prior
             # (noise_scale_proposals.py:134-156)
             new_noise = _propose_softplus(k_noise, noise, NOISE_STEP)
-            log_q = -_softplus_log_q_sq(noise, new_noise, NOISE_STEP**2)
+            log_q = (
+                _softplus_log_jac_ratio(noise, new_noise)
+                if correct
+                else -_softplus_log_q_sq(noise, new_noise, NOISE_STEP**2)
+            )
             log_prior = inverse_gamma_logpdf(
                 new_noise, params.gamma_prior_shape, params.gamma_prior_rate
             ) - inverse_gamma_logpdf(
@@ -90,12 +119,20 @@ def get_noise_scale_proposal(
             return (new_noise, scale), log_q + log_prior
 
         # joint softplus walk + half-normal priors
-        # (noise_scale_proposals.py:100-131)
+        # (noise_scale_proposals.py:100-131; the reference's joint path
+        # additionally flips the ratio's overall sign vs its noise-only
+        # path — both spurious-kernel variants are reproduced only under
+        # q_ratio_style="reference")
         new_noise = _propose_softplus(k_noise, noise, NOISE_STEP)
         new_scale = _propose_softplus(k_scale, scale, SCALE_STEP)
-        log_q = _softplus_log_q_sq(noise, new_noise, NOISE_STEP**2) + (
-            _softplus_log_q_sq(scale, new_scale, SCALE_STEP**2)
-        )
+        if correct:
+            log_q = _softplus_log_jac_ratio(noise, new_noise) + (
+                _softplus_log_jac_ratio(scale, new_scale)
+            )
+        else:
+            log_q = _softplus_log_q_sq(noise, new_noise, NOISE_STEP**2) + (
+                _softplus_log_q_sq(scale, new_scale, SCALE_STEP**2)
+            )
         log_prior = (
             half_normal_logpdf(new_noise, 1.0)
             + half_normal_logpdf(new_scale, 5.0)

@@ -43,6 +43,21 @@ class SamplerParams:
     grow_prune_weight: float = 0.5
     change_weight: float = 1.0
 
+    # Hastings-ratio style for the softplus noise/scale walk:
+    #   "correct" (default) — Jacobian-only q-ratio. The Gaussian kernel in
+    #     inverse-softplus space is symmetric, so only the change-of-
+    #     variables term log|dt/dx| survives the ratio; a prior-only MH
+    #     chain under this form reproduces the analytic inverse-gamma prior
+    #     on every quantile (results/diagnostics/qratio_bug.md).
+    #   "reference" — the reference's formula
+    #     (src/bark/fitting/noise_scale_proposals.py:138-149), which keeps a
+    #     spurious (delta t)^2/step^2 kernel term in the ratio. That term
+    #     suppresses large moves asymmetrically relative to the target and
+    #     provably biases the stationary law (measured: noise-prior mean
+    #     0.194 vs analytic 0.400; q90 0.357 vs 0.684). Kept ONLY so the
+    #     parity harness can compare transition kernels like-for-like.
+    q_ratio_style: str = "correct"
+
     # fixed-shape caps (TPU-native; see module docstring)
     node_limit: int = DEFAULT_NODE_LIMIT
     max_depth: int = DEFAULT_MAX_DEPTH
@@ -90,13 +105,16 @@ class SamplerParams:
 
     # rank1 backend: lowering of the once-per-step exact refresh.
     #   "auto" (default) — resolve by padded N at trace time
-    #     (sampler._resolve_styles): "leaf" once N >= 512 (full-bench
-    #     wins, results/ab_r4/ab_leaf.jsonl: 2982 vs 1935 at N=512,
-    #     2458 vs 863 at N=1024), "onesolve" below (dense wins on speed
-    #     at N=50/200 — 7216/3665 vs 5166/3347 — and onesolve's
-    #     factor-based branch MLLs are the f64-accurate form on TPU,
-    #     where the explicit-inverse quad loses ~58 nats at low noise;
-    #     results/ab_r4/leaf_numerics.md).
+    #     (sampler._resolve_styles): "leaf" once N >= 256 (full-bench
+    #     wins, results/ab_r4/ab_leaf.jsonl + r5 mid-tier A/B
+    #     results/ab_r5/ab_leaf_midtier.jsonl: 2982 vs 1935 at N=512,
+    #     2458 vs 863 at N=1024, 3152 vs 2341 at N=384, tie 3330 vs 3316
+    #     at N=256 — the tie resolves to leaf because it removes the
+    #     tier's explicit K^-1, the TPU-inaccurate object at low noise),
+    #     "onesolve" below (dense wins on speed at N=50/200 — 7216/3665
+    #     vs 5166/3347 — and onesolve's factor-based branch MLLs are the
+    #     f64-accurate form on TPU, where the explicit-inverse quad loses
+    #     ~58 nats at low noise; results/ab_r4/leaf_numerics.md).
     #   "pair" — two chol_inv_logdet calls (cur/new); the N-RHS triangular
     #     solve inside each lowers to a ~2.5 ms serial substitution fusion
     #     on TPU, twice per step — the single largest cost after the
@@ -136,7 +154,9 @@ class SamplerParams:
     # N at trace time (sampler._resolve_styles): coeff at N >= 1024
     # (beats lowrank 863 vs 839, results/ab_r3/ab_factor.jsonl + the r4
     # confirmations), lowrank at 256-1023, plain below; forced to coeff
-    # whenever the refresh style is factor/leaf.
+    # whenever the refresh style is factor/leaf. Since r5 the refresh
+    # auto resolves to leaf at N >= 256, so the dense lowrank/coeff
+    # tiers are reachable only via an explicit refresh pin.
     scan_style: str = "auto"
 
     # refresh_style="leaf" (requires scan_style="coeff") replaces the
@@ -218,6 +238,7 @@ class SamplerParams:
         "scan_style": ("plain", "aug", "lowrank", "coeff", "auto"),
         "gram_dtype": ("f32", "bf16"),
         "chol_impl": ("auto", "xla", "pallas"),
+        "q_ratio_style": ("correct", "reference"),
     }
 
     def __post_init__(self):

@@ -10,9 +10,14 @@ that the unit oracles can't see.
 Runs in a subprocess: the suite's conftest forces x64 globally, which
 changes the MCMC trajectory enough that this exact budget plateaus (the
 production path is f32). The subprocess replays the .claude verify
-recipe verbatim — f32, CPU, fixed seeds — whose measured behavior is a
-~20-iteration plateau at the init best (-0.715) and then the grid
-minimum (≈ -1.948) before iteration 30.
+recipe — f32, CPU, fixed seeds — whose measured behavior is a long
+plateau at the init best (-0.715) and then the grid minimum (≈ -1.948).
+Budget: 45 iterations. Under the round-5 corrected noise-proposal
+Hastings ratio (results/diagnostics/qratio_bug.md) the honest noise
+posterior carries a heavier upper tail, so the LCB explores slightly
+longer on this noiseless toy: measured basin-hit iterations across seeds
+0-4 are 36-42 (vs ~27 under the reference's biased ratio) — the 30-iter
+budget was marginal either way.
 """
 
 import subprocess
@@ -37,14 +42,14 @@ params = SamplerParams(warmup_steps=50, num_samples=8, steps_per_sample=5,
 bark = make_strategy("BARK", bench.domain, seed=0, params=params,
                      num_candidates=1024, num_rounds=3)
 bark.tell(X0, y0)
-for _ in range(30):
+for _ in range(45):
     c = bark.ask(1)
     bark.add(c, bench.f(c))
 bark_best = float(bark.y.min())
 
 rand_rng = np.random.default_rng(1)
 rand_best = float(y0.min())
-for _ in range(30):
+for _ in range(45):
     c = bench.domain.sample(1, rand_rng)
     rand_best = min(rand_best, float(bench.f(c)[0]))
 

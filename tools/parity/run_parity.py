@@ -190,6 +190,11 @@ def run_bark_tpu(domain, X, y, X_test, params_dict, seed):
         gamma_prior_rate=params_dict["gamma_prior_rate"],
         grow_prune_weight=params_dict["grow_prune_weight"],
         change_weight=params_dict["change_weight"],
+        # like-for-like kernel comparison: reproduce the reference's
+        # (incorrect) softplus Hastings ratio here — the shipped default is
+        # the corrected Jacobian-only form (params.q_ratio_style notes,
+        # results/diagnostics/qratio_bug.md)
+        q_ratio_style="reference",
     )
     chains = params.num_chains
     forest = create_empty_forest(
