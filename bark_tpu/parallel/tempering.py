@@ -278,11 +278,13 @@ def run_parallel_tempering(
     num_steps: int = 100,
     beta_min: float = 0.05,
     mask: jax.Array | None = None,
-) -> tuple[BARKModel, jax.Array, jax.Array]:
+) -> tuple[BARKModel, jax.Array, jax.Array, jax.Array]:
     """Run one PT ladder; returns cold-chain samples + swap diagnostics.
 
     ``forest``/``noise``/``scale`` carry a leading (num_replicas,) axis.
-    Returns (cold samples over steps, beta trace (T, R), mean swap rate).
+    Returns (cold samples over steps, beta trace (T, R), mean swap rate,
+    cold-chain MLL trace (T,) — the time-to-target diagnostic consumed by
+    tools/ab_tempered.py and convergence reporting).
     """
     chains = jax.vmap(
         lambda f, n, s: init_chain_state(
@@ -327,4 +329,4 @@ def run_parallel_tempering(
     )
     cold_forest, cold_noise, cold_scale, cold_mll = cold_samples
     samples = BARKModel(forest=cold_forest, noise=cold_noise, scale=cold_scale)
-    return samples, beta_trace, jnp.mean(swap_frac)
+    return samples, beta_trace, jnp.mean(swap_frac), cold_mll

@@ -80,7 +80,7 @@ def main(seed: int, sharded: bool, num_replicas: int, num_steps: int,
         forest = create_empty_forest(
             params.num_trees, params.node_limit, batch_shape=(num_replicas,)
         )
-        samples, beta_trace, swap_rate = run_parallel_tempering(
+        samples, beta_trace, swap_rate, cold_mlls = run_parallel_tempering(
             jax.random.key(seed), forest,
             jnp.full((num_replicas,), 0.1, jnp.float32),
             jnp.ones((num_replicas,), jnp.float32),

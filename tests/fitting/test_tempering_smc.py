@@ -96,7 +96,7 @@ def test_parallel_tempering_runs():
     params = SamplerParams(num_trees=5)
     R = 4
     forest = create_empty_forest(5, params.node_limit, batch_shape=(R,))
-    samples, beta_trace, swap_rate = run_parallel_tempering(
+    samples, beta_trace, swap_rate, cold_mlls = run_parallel_tempering(
         jax.random.key(0),
         forest,
         jnp.full((R,), 0.1),
