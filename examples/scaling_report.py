@@ -38,7 +38,7 @@ import time
 import jax
 
 
-def _setup(platform: str | None):
+def _setup(platform: str | None, n_train: int = 50):
     if platform:
         jax.config.update("jax_platforms", platform)
 
@@ -49,7 +49,7 @@ def _setup(platform: str | None):
 
     bench = map_benchmark("TreeFunction", dim=5, m=50, function_seed=1)
     rng = np.random.default_rng(0)
-    X = bench.domain.sample(50, rng)
+    X = bench.domain.sample(n_train, rng)
     y = bench.f(X)
     y = (y - y.mean()) / y.std()
     Xj, yj = jnp.asarray(X), jnp.asarray(y, jnp.float32)
@@ -145,6 +145,11 @@ if __name__ == "__main__":
     parser.add_argument("--chains-per-device", type=int, default=8)
     parser.add_argument("--total-chains", type=int, default=16)
     parser.add_argument("--num-steps", type=int, default=20)
+    parser.add_argument(
+        "--n-train", type=int, default=50,
+        help="training-set size; >= 256 exercises the leaf-tier lowering "
+             "under sharding",
+    )
     parser.add_argument("--out", default=None, help="write results JSON here")
     parser.add_argument(
         "--note", default="", help="free-text provenance note stored in --out"
@@ -159,7 +164,7 @@ if __name__ == "__main__":
         from bark_tpu.parallel.distributed import initialize_distributed
 
         initialize_distributed()
-    data = _setup(args.platform)
+    data = _setup(args.platform, args.n_train)
     weak = weak_scaling(args.chains_per_device, args.num_steps, data)
     fixed = sharding_overhead(args.total_chains, args.num_steps, data)
     if args.out:
@@ -169,6 +174,7 @@ if __name__ == "__main__":
             "host_cores": os.cpu_count(),
             "devices": len(jax.devices()),
             "num_steps": args.num_steps,
+            "n_train": args.n_train,
             "weak_scaling": {
                 "chains_per_device": args.chains_per_device,
                 "caveat": (
