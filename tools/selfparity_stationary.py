@@ -50,7 +50,7 @@ OUT = (
 
 N = 512
 M = 50
-CHAINS = 32
+CHAINS = 32  # overridden by --chains
 NOISE_FRAC = 0.10  # target noise share of standardized variance
 
 
@@ -147,14 +147,28 @@ def run_arm(tag, sampler_kw, key, warmup, samples, thin, chunk=250):
 
 
 def main():
+    global CHAINS
     ap = argparse.ArgumentParser()
     ap.add_argument("--warmup", type=int, default=6000)
     ap.add_argument("--samples", type=int, default=150)
     ap.add_argument("--thin", type=int, default=4)
-    ap.add_argument("--skip-chol", action="store_true")
+    ap.add_argument("--chains", type=int, default=32)
+    ap.add_argument("--chunk", type=int, default=250,
+                    help="steps per sampler call (the r4 worker crash was "
+                         "one oversized scan program; the chol arm needs "
+                         "small chunks)")
+    ap.add_argument("--arms", default="leaf,dense,chol",
+                    help="comma list from {leaf,dense,chol}")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (config update; the env var "
+                         "alone cannot override the axon plugin)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    CHAINS = args.chains
 
-    arms = {
+    all_arms = {
         # the shipped default at this N resolves to leaf+coeff
         "leaf": dict(),
         # dense rank1 comparator, explicitly pinned (the opt-in tier).
@@ -168,19 +182,20 @@ def main():
         # decisive comparator for the leaf default's stationary law.
         "chol": dict(kernel_backend="chol"),
     }
-    if args.skip_chol:
-        arms.pop("chol")
+    arms = {t: all_arms[t] for t in args.arms.split(",")}
     results, diags = {}, {}
     for i, (tag, kw) in enumerate(arms.items()):
         results[tag], diags[tag] = run_arm(
             tag, kw, jax.random.key(100 + i), args.warmup, args.samples,
-            args.thin,
+            args.thin, chunk=args.chunk,
         )
         print(tag, json.dumps(diags[tag]), flush=True)
 
     rows = []
     baselines = [t for t in ("chol", "dense") if t in results]
-    for metric in results["leaf"]:
+    if "leaf" not in results:
+        baselines = []
+    for metric in results.get("leaf", {}):
         for base in baselines:
             a, b = results[base][metric], results["leaf"][metric]
             ma, sa = a.mean(), a.std(ddof=1) / np.sqrt(len(a))
@@ -212,9 +227,10 @@ def main():
         "supersedes": "results/ab_r4/leaf_selfparity.json (transit-regime "
                       "diagnostic; see leaf_numerics.md finding 3)",
     }
-    OUT.parent.mkdir(parents=True, exist_ok=True)
-    OUT.write_text(json.dumps(payload, indent=1))
-    print(f"wrote {OUT}", flush=True)
+    out = pathlib.Path(args.out) if args.out else OUT
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(payload, indent=1))
+    print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":
