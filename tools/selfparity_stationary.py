@@ -109,17 +109,48 @@ def run_arm(tag, sampler_kw, key, warmup, samples, thin, chunk=250):
         )
         jax.block_until_ready(model.noise)
         done += step_n
-        print(f"[{tag}] warmup {done}/{warmup}", flush=True)
+        if done % 1000 < step_n:
+            # transit visibility: the chain-mean noise trajectory says
+            # whether the warmup budget actually reached stationarity
+            print(
+                f"[{tag}] warmup {done}/{warmup} "
+                f"noise={float(jnp.mean(model.noise)):.4f}",
+                flush=True,
+            )
 
-    key, k = jax.random.split(key)
-    p = base.with_(warmup_steps=0, num_samples=samples, steps_per_sample=thin)
-    out, mlls = run_bark_sampler_with_trace(k, model, X, y, bounds, ft, p)
-    jax.block_until_ready(out.noise)
+    # sampling phase, ALSO chunked (a single 600-step chol-arm program
+    # crashed the worker just like the r4 8000-step probe)
+    out_chunks, mll_chunks = [], []
+    got = 0
+    while got < samples:
+        s_n = min(max(chunk // thin, 1), samples - got)
+        key, k = jax.random.split(key)
+        p = base.with_(warmup_steps=0, num_samples=s_n, steps_per_sample=thin)
+        out, mlls = run_bark_sampler_with_trace(
+            k, model, X, y, bounds, ft, p
+        )
+        model = BARKModel(
+            forest=jax.tree.map(lambda a: a[:, -1], out.forest),
+            noise=out.noise[:, -1],
+            scale=out.scale[:, -1],
+        )
+        jax.block_until_ready(model.noise)
+        out_chunks.append(out)
+        mll_chunks.append(np.asarray(mlls))
+        got += s_n
+        print(f"[{tag}] samples {got}/{samples}", flush=True)
     wall = time.perf_counter() - t0
+    forest_all = jax.tree.map(
+        lambda *a: np.concatenate([np.asarray(x) for x in a], axis=1),
+        *[c.forest for c in out_chunks],
+    )
+    noise = np.concatenate(
+        [np.asarray(c.noise, np.float64) for c in out_chunks], axis=1
+    )
+    mlls = np.concatenate(mll_chunks, axis=1)
 
-    tmask = np.asarray(out.forest.is_leaf & out.forest.active)
-    depth = np.asarray(out.forest.depth)
-    noise = np.asarray(out.noise, np.float64)
+    tmask = np.asarray(forest_all.is_leaf & forest_all.active)
+    depth = np.asarray(forest_all.depth)
     leaves_per_tree = tmask.sum(axis=-1).mean(axis=-1)  # (chains, samples)
     dsum = (depth * tmask).sum(axis=(-2, -1))
     dcount = tmask.sum(axis=(-2, -1))
