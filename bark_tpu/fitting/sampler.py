@@ -78,6 +78,8 @@ from bark_tpu.forest import (
 )
 from bark_tpu.ops.linalg import (
     JITTER,
+    MM_PRECISION,
+    MM_PRECISION_SCAN,
     blocked_cholesky,
     chol_inv_logdet,
     kernel_matrix,
@@ -406,8 +408,12 @@ def init_chain_state(
         nu = JITTER + noise
         gamma = scale / params.num_trees
         Z, total0 = _leaf_Z(forest, leaves, budget, mask)
+        # Z'Z is exact at default precision (0/1 operands); the solves
+        # and y-products below run at full mantissa
+        # (results/ab_r5/precision_bug.md)
         A = Z.T @ Z + (nu / gamma) * jnp.eye(budget, dtype=jnp.float32)
-        L_A = jnp.linalg.cholesky(A)
+        with jax.default_matmul_precision(MM_PRECISION):
+            L_A = jnp.linalg.cholesky(A)
         logdet_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_A)))
         K_logdet = (
             X.shape[0] * jnp.log(nu) + budget * jnp.log(gamma / nu) + logdet_A
@@ -418,10 +424,11 @@ def init_chain_state(
         # and biases the posterior (measured z=28 on the noise mean,
         # results/ab_r4/leaf_selfparity.json). Here the cancellation
         # happens per element on O(1) operands: exact same math.
-        w_y = jax.scipy.linalg.cho_solve(
-            (L_A, True), Z.T @ y_flat
-        )
-        quad = y_flat @ (y_flat - Z @ w_y) / nu
+        with jax.default_matmul_precision(MM_PRECISION):
+            w_y = jax.scipy.linalg.cho_solve(
+                (L_A, True), Z.T @ y_flat
+            )
+            quad = y_flat @ (y_flat - Z @ w_y) / nu
         mll_val = 0.5 * (-quad - K_logdet + pad_count * jnp.log(nu))
         # an INITIAL forest over the leaf budget cannot be packed (the
         # capacity guard only blocks new grows) — poison the MLL with NaN
@@ -556,7 +563,44 @@ def _tree_moves_chol(
     return forest, subs, leaves, K, cur_mll
 
 
+
+def _scan_precision(fn):
+    """Trace the wrapped move-scan body under MM_PRECISION_SCAN (overrides
+    the enclosing MM_PRECISION gate; see the ops/linalg.py constants)."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        import bark_tpu.ops.linalg as _lin
+
+        with jax.default_matmul_precision(_lin.MM_PRECISION_SCAN):
+            return fn(*args, **kwargs)
+    return wrapped
+
 def _tree_moves_rank1(
+    key, state, X, y, mask, pad_count, bounds, feat_types, params, beta=1.0
+):
+    """Precision gate for :func:`_tree_moves_rank1_impl` (see there).
+
+    On TPU the default matmul precision truncates f32 operands to
+    bfloat16. For the indicator/one-hot matmuls elsewhere (routing, gram
+    counts) that is EXACT — 0/1 operands and small-integer counts are
+    bf16-representable — but the move scan's hoisted quadratic forms are
+    not: per-move MH log-ratios through the leaf-tier hoist measured
+    mean +0.65 / max 9.7 nats of error at (N=512, nu~0.1), enough to
+    shift the stationary noise posterior by +11% (TPU leaf 0.111 vs
+    0.100 from the chol oracle, CPU-f32 leaf AND dense — the r5
+    stationarity investigation, results/ab_r5/precision_bug.md). Under
+    "highest" the same quantities match f64 to 0.002 nats. The proposal
+    batch and scans contain no large matmuls, so gating the whole body
+    costs only the (already hoisted, small) products.
+    """
+    with jax.default_matmul_precision(MM_PRECISION):
+        return _tree_moves_rank1_impl(
+            key, state, X, y, mask, pad_count, bounds, feat_types, params,
+            beta,
+        )
+
+
+def _tree_moves_rank1_impl(
     key, state, X, y, mask, pad_count, bounds, feat_types, params, beta=1.0
 ):
     """m tree moves with *minimal-rank* inverse maintenance.
@@ -610,10 +654,14 @@ def _tree_moves_rank1(
         ind(batch.cur_leavesT, node[:, None]),
         ind(batch.cur_leavesT, l_old) - ind(batch.cur_leavesT, r_old),
     )
-    w_add_all = half_s_over_m * mask[None, :] * w_add_all
-    w_sub_all = half_s_over_m * mask[None, :] * w_sub_all
-    # (m, N, 2) update-pair stack fed through scan xs
-    W_all = jnp.stack([w_add_all, w_sub_all], axis=-1)
+    w_add_all = mask[None, :] * w_add_all
+    w_sub_all = mask[None, :] * w_sub_all
+    # 0/±1 update patterns; the sqrt(scale/2m) scalar is applied at the
+    # consumers — keeping patterns pure lets the leaf hoist's big
+    # products run with EXACTLY-representable bf16 operands at default
+    # matmul precision (results/ab_r5/precision_bug.md perf notes)
+    W_pat = jnp.stack([w_add_all, w_sub_all], axis=-1)  # (m, N, 2)
+    W_all = half_s_over_m * W_pat
 
     y_flat = y.reshape(-1)
     mll_corr = pad_count * jnp.log(JITTER + state.noise)
@@ -636,6 +684,7 @@ def _tree_moves_rank1(
         """
         return 0.5 * (-quad0 - logdet0 + mll_corr)
 
+    @_scan_precision
     def tree_move(carry, inputs):
         K_inv, K_logdet, v_y, quad, cur_mll = carry
         W, log_q_prior, log_u = inputs
@@ -678,6 +727,7 @@ def _tree_moves_rank1(
         v_y0 = state.kern.K_inv @ y_flat
         quad0 = y_flat @ v_y0
 
+    @_scan_precision
     def tree_move_aug(carry, inputs):
         # augmented-carry variant: A = [K_inv | v_y] (N, N+1) — the v_y
         # update folds into the same rank-2 correction (K_inv' y =
@@ -711,6 +761,7 @@ def _tree_moves_rank1(
         cur_mll = jnp.where(accept, new_mll, cur_mll)
         return (A, K_logdet, quad, cur_mll), accept
 
+    @_scan_precision
     def tree_move_lowrank(carry, inputs):
         # Deferred-update variant: K^-1 is NEVER written inside the scan.
         # The refresh at the end of step() rebuilds K^-1 from the Gram
@@ -763,6 +814,7 @@ def _tree_moves_rank1(
         cur_mll = jnp.where(accept, new_mll, cur_mll)
         return (P, Q, K_logdet, v_y, quad, cur_mll), accept
 
+    @_scan_precision
     def tree_move_coeff(carry, inputs, cap=None):
         # Coefficient-space deferred update: every per-move quantity lives
         # in span(V0) with V0 = K0^-1 W_flat, so the scan NEVER touches an
@@ -852,25 +904,41 @@ def _tree_moves_rank1(
         W_flat = W_all.transpose(1, 0, 2).reshape(-1, m2)  # (N, 2m)
         if params.refresh_style == "leaf":
             # leaf-factor carry: kern.K is chol(A), A = (nu/gamma) I_R +
-            # Z^T Z of the *current* kernel. Every hoisted product comes
-            # through K0^-1 v = (v - Z A^-1 Z^T v)/nu (Woodbury) in
-            # RESIDUAL form — not the Gram-difference form
-            # ((v'v - ||L^-1 Z'v||^2)/nu), whose global-sum cancellation
-            # corrupts the likelihood at small noise (measured z=28 bias
-            # on the noise posterior, results/ab_r4/leaf_selfparity.json
-            # pre-fix row). Sequential work: ONE (R, 2m+1)-RHS
-            # Cholesky solve — substitution length R instead of N.
+            # Z^T Z of the *current* kernel. Structure (r5, after the
+            # precision finding): the O(N)-sized products run at DEFAULT
+            # matmul precision on EXACT operands — Z is 0/1 and Wp_flat
+            # is the 0/±1 pattern (integer counts accumulate exactly in
+            # f32) — while the inexact-operand work is either tiny
+            # ((R, 2m+1) solve, (2m, 2m) symmetric products) or a matvec,
+            # and runs under the enclosing "highest" gate. Hm comes from
+            # the factor-SYMMETRIC form (W'K0^-1 W = (W'W - Sw'Sw)/nu
+            # with Sw = L^-1 Z'W): with W'W and Z'W exact and the solve
+            # at full precision, the B-1 ~ O(1e-2) cancellations resolve
+            # to ~1e-6 absolute (per-move MH ratio error <= 0.003 nats
+            # vs f64 — probe record in precision_bug.md). The y-side
+            # quad/t0 keep the r4 RESIDUAL form (the Gram-difference
+            # form's O(N) cancellation corrupts the likelihood at small
+            # noise — z=28, results/ab_r4/leaf_selfparity.json).
             budget = _leaf_budget(params, X.shape[0])
             L_A = state.kern.K  # (R, R)
             nu = JITTER + state.noise
             Z, total0 = _leaf_Z(state.forest, state.leaves, budget, mask)
-            rhs = jnp.concatenate([Z.T @ W_flat, (Z.T @ y_flat)[:, None]], 1)
-            U = jax.scipy.linalg.cho_solve((L_A, True), rhs)  # (R, 2m+1)
-            resid_W = W_flat - Z @ U[:, :-1]  # (N, 2m)
-            resid_y = y_flat - Z @ U[:, -1]
-            Hm = (W_flat.T @ resid_W) / nu
+            Wp_flat = W_pat.transpose(1, 0, 2).reshape(-1, m2)  # (N, 2m)
+            with jax.default_matmul_precision("default"):
+                CW = Z.T @ Wp_flat  # (R, 2m) exact integer counts
+                WtW = Wp_flat.T @ Wp_flat  # (2m, 2m) exact
+            uz = Z.T @ y_flat
+            Sw = jax.scipy.linalg.solve_triangular(
+                L_A, half_s_over_m * CW, lower=True
+            )  # (R, 2m)
+            w_y = jax.scipy.linalg.cho_solve((L_A, True), uz)  # (R,)
+            resid_y = y_flat - Z @ w_y
+            hh = half_s_over_m * half_s_over_m
+            Hm = (hh * WtW - Sw.T @ Sw) / nu
             Hm = 0.5 * (Hm + Hm.T)  # exact-symmetric (the scan assumes it)
-            t0_all = ((W_flat.T @ resid_y) / nu).reshape(m, 2)
+            t0_all = (
+                (half_s_over_m * (Wp_flat.T @ resid_y)) / nu
+            ).reshape(m, 2)
             quad0 = (y_flat @ resid_y) / nu
         elif params.refresh_style == "factor":
             # kern carries L (chol of K0), never K0^-1: every quantity the
@@ -973,6 +1041,16 @@ def _tree_moves_woodbury(
     """The reference's incremental inverse maintenance
     (bark_sampler.py:233-264), with a single SPD Cholesky powering both the
     Woodbury inverse update and the determinant-lemma update per direction."""
+    with jax.default_matmul_precision(MM_PRECISION):
+        return _tree_moves_woodbury_impl(
+            key, state, X, y, mask, pad_count, bounds, feat_types, params,
+            beta,
+        )
+
+
+def _tree_moves_woodbury_impl(
+    key, state, X, y, mask, pad_count, bounds, feat_types, params, beta=1.0
+):
     num_cols = params.node_limit // 2
     s_sqrtm = jnp.sqrt(state.scale / params.num_trees)
     packed0, batch = _propose_all_trees(key, state, X, feat_types, bounds, params)
@@ -1106,31 +1184,40 @@ def step(
             # the dense refresh (exact quantities once per step).
             budget = _leaf_budget(params, X.shape[0])
             y_flat = y.reshape(-1)
+            # the indicator build's one-hot matmuls are bf16-exact and
+            # stay at default precision; everything downstream carries
+            # non-representable f32 operands and runs at "highest" (the
+            # default's bf16 truncation measurably biased the posterior —
+            # see _tree_moves_rank1 and results/ab_r5/precision_bug.md)
             Z, total_r = _leaf_Z(forest, leaves, budget, mask)
+            # Z'Z is 0/1 x 0/1 — exact integer counts at default
+            # precision (the N-sized product; no precision passes needed)
             G = Z.T @ Z  # (R, R) — shared by both branches
-            uz = Z.T @ y_flat
-            nu2 = jnp.stack([JITTER + state.noise, JITTER + new_noise])
-            gam2 = jnp.stack([state.scale, new_scale]) / params.num_trees
-            eyeR = jnp.eye(budget, dtype=G.dtype)
-            A2 = G[None] + (nu2 / gam2)[:, None, None] * eyeR
-            L2 = jnp.linalg.cholesky(A2)
-            logdet_A2 = 2.0 * jnp.sum(
-                jnp.log(jnp.diagonal(L2, axis1=-2, axis2=-1)), axis=-1
-            )
-            K_logdet2 = (
-                X.shape[0] * jnp.log(nu2)
-                + budget * jnp.log(gam2 / nu2)
-                + logdet_A2
-            )
-            # residual-form quadratic (see the coeff-hoist/init branches:
-            # the Gram-difference form cancels catastrophically at small
-            # noise and biases the noise posterior)
-            w2 = jax.scipy.linalg.cho_solve(
-                (L2, True), jnp.broadcast_to(uz, (2, uz.size))[..., None]
-            )[..., 0]  # (2, R) = A_b^{-1} Z^T y
-            resid2 = y_flat[None, :] - w2 @ Z.T  # (2, N)
-            quad2 = (resid2 @ y_flat) / nu2
-            mll2 = 0.5 * (-quad2 - K_logdet2 + pad_count * jnp.log(nu2))
+            with jax.default_matmul_precision(MM_PRECISION):
+                uz = Z.T @ y_flat
+                nu2 = jnp.stack([JITTER + state.noise, JITTER + new_noise])
+                gam2 = jnp.stack([state.scale, new_scale]) / params.num_trees
+                eyeR = jnp.eye(budget, dtype=G.dtype)
+                A2 = G[None] + (nu2 / gam2)[:, None, None] * eyeR
+                L2 = jnp.linalg.cholesky(A2)
+                logdet_A2 = 2.0 * jnp.sum(
+                    jnp.log(jnp.diagonal(L2, axis1=-2, axis2=-1)), axis=-1
+                )
+                K_logdet2 = (
+                    X.shape[0] * jnp.log(nu2)
+                    + budget * jnp.log(gam2 / nu2)
+                    + logdet_A2
+                )
+                # residual-form quadratic (see the coeff-hoist/init
+                # branches: the Gram-difference form cancels
+                # catastrophically at small noise and biases the noise
+                # posterior)
+                w2 = jax.scipy.linalg.cho_solve(
+                    (L2, True), jnp.broadcast_to(uz, (2, uz.size))[..., None]
+                )[..., 0]  # (2, R) = A_b^{-1} Z^T y
+                resid2 = y_flat[None, :] - w2 @ Z.T  # (2, N)
+                quad2 = (resid2 @ y_flat) / nu2
+                mll2 = 0.5 * (-quad2 - K_logdet2 + pad_count * jnp.log(nu2))
             # over-budget packing is unreachable from a valid init (the
             # move scan rejects grows at capacity), but if an invalid
             # state got in, keep the NaN poison flowing (see

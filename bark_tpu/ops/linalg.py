@@ -24,6 +24,25 @@ import jax.numpy as jnp
 
 JITTER = 1e-6  # parity: src/bark/fitting/bark_sampler.py:156
 
+#: matmul precision for MLL-critical products on TPU. The default
+#: precision truncates f32 operands to bf16 and measurably biased the
+#: posterior (results/ab_r5/precision_bug.md); "highest" (6-pass)
+#: restores f64-matching accuracy (per-move MH ratio error max 0.0024
+#: nats vs 9.7 at default, 0.18 at "high"). Module-level so perf A/Bs
+#: can override one knob (tools/ab_precision.py).
+MM_PRECISION = "highest"
+
+#: matmul precision for the move-scan BODIES (the per-move (2m,2m)-sized
+#: Woodbury updates). Separate knob from MM_PRECISION: the scan is
+#: latency-bound on per-move op count, so extra precision passes cost
+#: ~2-3% at every N — and with the HOISTED quantities computed exactly
+#: (structured-exact products + MM_PRECISION solves), default precision
+#: in-scan is measured clean end-to-end: carried final-scan MLL drift
+#: +0.0007 nats vs f64 at (N=512, nu~0.1), and the stationary noise
+#: posterior matches the chol oracle (0.0999 vs 0.1000, R-hat 1.03) —
+#: results/ab_r5/precision_bug.md.
+MM_PRECISION_SCAN = "default"
+
 
 def mll(K_inv: jax.Array, K_logdet: jax.Array, y: jax.Array) -> jax.Array:
     """Marginal log-likelihood up to the constant N/2 log(2pi) term.
@@ -32,7 +51,11 @@ def mll(K_inv: jax.Array, K_logdet: jax.Array, y: jax.Array) -> jax.Array:
     ``y`` is ``(N, 1)`` or ``(N,)``.
     """
     y = y.reshape(-1)
-    quad = y @ (K_inv @ y)
+    with jax.default_matmul_precision(MM_PRECISION):
+        # TPU default precision truncates f32 matmul operands to bf16;
+        # MLL quadratics need the full mantissa (results/ab_r5/
+        # precision_bug.md) and this matvec is cheap
+        quad = y @ (K_inv @ y)
     return 0.5 * (-quad - K_logdet)
 
 
@@ -52,7 +75,9 @@ def masked_mll(
     ratios (including noise moves) match the unpadded system exactly.
     """
     y = y.reshape(-1)
-    quad = y @ (K_inv @ y)
+    with jax.default_matmul_precision(MM_PRECISION):
+        # full-mantissa quad (see mll above)
+        quad = y @ (K_inv @ y)
     correction = pad_count * jnp.log(JITTER + noise)
     return 0.5 * (-quad - K_logdet + correction)
 
@@ -217,8 +242,13 @@ def chol_inv_logdet(
         else jnp.linalg.cholesky(K)
     )
     eye = jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape)
-    L_inv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    K_inv = jnp.swapaxes(L_inv, -1, -2) @ L_inv  # batch-safe transpose
+    with jax.default_matmul_precision(MM_PRECISION):
+        # the assembly product must keep L_inv's full f32 mantissa: at
+        # default precision the operands round to bf16 and quadratic
+        # forms through the result lose ~0.4% relative — on top of the
+        # expander error documented above (results/ab_r5/precision_bug.md)
+        L_inv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        K_inv = jnp.swapaxes(L_inv, -1, -2) @ L_inv  # batch-safe transpose
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
     return K_inv, logdet
 
