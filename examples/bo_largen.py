@@ -105,6 +105,10 @@ def run_study(
         rec = {
             "iter": it,
             "n_train": int(len(strat.y)),
+            # the proposed POINT, not just its objective value: the
+            # objective is piecewise constant, so distinct proposals can
+            # share y — duplicate detection is about x (VERDICT r4 #3)
+            "candidate": [round(float(v), 6) for v in np.asarray(cand)[0]],
             "ask_s": round(ask_s, 3),
             "fit_s": round(fit_s, 3),
             "y_new": float(np.asarray(y_new).reshape(-1)[0]),
