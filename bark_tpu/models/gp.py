@@ -15,7 +15,12 @@ import jax
 import jax.numpy as jnp
 
 from bark_tpu.forest import Forest, gram_from_leaves, route_forest_auto
-from bark_tpu.ops.linalg import JITTER, gp_posterior, robust_chol_inv_logdet
+from bark_tpu.ops.linalg import (
+    JITTER,
+    MM_PRECISION,
+    gp_posterior,
+    robust_chol_inv_logdet,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth",))
@@ -154,11 +159,16 @@ def forest_predict_leaf(
         nu = JITTER + noise_s
         gamma = scale_s / m
         r = Z.shape[1]
+        # Z'Z is exact at default precision (0/1 operands); the y-side
+        # matvecs carry non-representable f32 values and run at full
+        # mantissa (TPU default truncates matmul operands to bf16 —
+        # results/ab_r5/precision_bug.md)
         A = Z.T @ Z + (nu / gamma) * jnp.eye(r, dtype=jnp.float32)
         L_A = jnp.linalg.cholesky(A)
-        u = Z.T @ y
-        w = jax.scipy.linalg.cho_solve((L_A, True), u)
-        mu = Zx @ w
+        with jax.default_matmul_precision(MM_PRECISION):
+            u = Z.T @ y
+            w = jax.scipy.linalg.cho_solve((L_A, True), u)
+            mu = Zx @ w
         T = jax.scipy.linalg.solve_triangular(L_A, Zx.T, lower=True)
         var = nu * jnp.sum(T * T, axis=0)
         return mu, var

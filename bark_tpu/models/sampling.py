@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from bark_tpu.fitting.sampler import BARKModel
 from bark_tpu.forest import Forest, gram_from_leaves, route_forest_auto
-from bark_tpu.ops.linalg import JITTER
+from bark_tpu.ops.linalg import JITTER, MM_PRECISION
 
 
 @functools.partial(jax.jit, static_argnames=("num_fstar", "max_depth"))
@@ -167,7 +167,10 @@ def leaf_function_samples(
         r = Z.shape[1]
         A = Z.T @ Z + (nu / gamma) * jnp.eye(r, dtype=jnp.float32)
         L_A = jnp.linalg.cholesky(A)
-        theta_bar = jax.scipy.linalg.cho_solve((L_A, True), Z.T @ y)
+        with jax.default_matmul_precision(MM_PRECISION):
+            # full-mantissa y-side products (Z'Z above is exact at
+            # default; results/ab_r5/precision_bug.md)
+            theta_bar = jax.scipy.linalg.cho_solve((L_A, True), Z.T @ y)
         eps = jax.random.normal(k, (r, num_draws), jnp.float32)
         pert = jnp.sqrt(nu) * jax.scipy.linalg.solve_triangular(
             L_A.T, eps, lower=False

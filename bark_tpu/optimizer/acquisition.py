@@ -35,7 +35,7 @@ from bark_tpu.forest import (
     num_null_trees,
     route_forest_auto,
 )
-from bark_tpu.ops.linalg import JITTER, robust_chol_inv_logdet
+from bark_tpu.ops.linalg import MM_PRECISION, JITTER, robust_chol_inv_logdet
 
 DEFAULT_KAPPA = 1.96  # parity: strategies/tree_kernel.py:45
 
@@ -465,7 +465,10 @@ def build_acquisition_ts(
     r = Z.shape[1]
     A = Z.T @ Z + (nu / gamma) * jnp.eye(r, dtype=jnp.float32)
     L_A = jnp.linalg.cholesky(A)
-    theta_bar = jax.scipy.linalg.cho_solve((L_A, True), Z.T @ y)
+    with jax.default_matmul_precision(MM_PRECISION):
+        # full-mantissa y-side products (Z'Z above is exact at default;
+        # results/ab_r5/precision_bug.md)
+        theta_bar = jax.scipy.linalg.cho_solve((L_A, True), Z.T @ y)
     eps = jax.random.normal(k_draw, (r,), jnp.float32)
     theta = theta_bar + jnp.sqrt(nu) * jax.scipy.linalg.solve_triangular(
         L_A.T, eps, lower=False
